@@ -1,0 +1,235 @@
+"""String-column codecs: STR_PLAIN, STR_DICT, FSST.
+
+A string chunk is (concatenated utf-8 payload, int32 lengths). Lengths ride
+the integer codec framework (ints.py); the payload gets one of:
+
+* STR_PLAIN — raw bytes.
+* STR_DICT  — dictionary of distinct strings + bit-packed codes; the Spark
+  form of the reference's pandas-categorical optimization
+  (/root/reference/src/parquet_reader.py:464-494, "50-70% memory savings").
+* FSST      — symbol-table byte compression (Boncz/Neumann/Leis, "FSST: Fast
+  Random Access String Compression", VLDB 2020): up to 254 symbols of 1-8
+  bytes learned from a sample by iterative pair-merging; greedy
+  longest-match encode; escape byte 0xFF for uncovered bytes. The encode hot
+  path is a compiled regex alternation (C-speed scan, leftmost-longest via
+  length-sorted alternation) — no per-character Python.
+
+Blob format: ``codec_id:uint8 || payload`` like ints.py, ids disjoint from
+the integer ids so a blob is always self-describing.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from collections import Counter
+
+import numpy as np
+
+from .ints import (
+    ZSTD,
+    decode_ints,
+    encode_ints_best,
+    unwrap_zstd,
+)
+from .ints import BITPACK as _BITPACK
+from .ints import encode_ints as _encode_ints
+
+STR_PLAIN = 16
+STR_DICT = 17
+FSST = 18
+
+STR_CODEC_NAMES = {STR_PLAIN: "str_plain", STR_DICT: "str_dict", FSST: "fsst"}
+
+_U32 = struct.Struct("<I")
+
+_ESCAPE = 0xFF
+_MAX_SYMBOLS = 254  # codes 0..253; 0xFF = escape
+_MAX_SYMBOL_LEN = 8
+_TRAIN_ITERS = 5
+_SAMPLE_BYTES = 1 << 14
+
+
+def _child(blob: bytes) -> bytes:
+    return _U32.pack(len(blob)) + blob
+
+
+def _concat(strings: "np.ndarray | list[str]") -> tuple[bytes, np.ndarray]:
+    bs = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int32, count=len(bs))
+    return b"".join(bs), lens
+
+
+# ------------------------------------------------------------- FSST training
+
+
+def _train_symbols(sample: bytes) -> list[bytes]:
+    """Learn ≤254 symbols by iterative pair-merge counting (FSST §3.3 shape:
+    start from single bytes, repeatedly count adjacent symbol pairs under the
+    current table and promote the most frequent concatenations)."""
+    if not sample:
+        return []
+    # iteration 0: the most common single bytes
+    counts = Counter(sample)
+    table = [bytes([b]) for b, _ in counts.most_common(_MAX_SYMBOLS)]
+    for _ in range(_TRAIN_ITERS):
+        pattern = _compile_pattern(table)
+        toks = pattern.findall(sample)
+        pair_counts: Counter = Counter()
+        gain: Counter = Counter()
+        for a, b in zip(toks, toks[1:]):
+            cat = a + b
+            if len(cat) <= _MAX_SYMBOL_LEN:
+                pair_counts[cat] += 1
+        for t in toks:
+            gain[t] += len(t) - 1  # bytes saved vs escape-free 1-code encode
+        for cat, c in pair_counts.items():
+            gain[cat] += c * (len(cat) - 1)
+        table = [s for s, _ in gain.most_common(_MAX_SYMBOLS)]
+    # ensure deterministic order: by (-len, bytes) for stable codes
+    table.sort(key=lambda s: (-len(s), s))
+    return table[:_MAX_SYMBOLS]
+
+
+def _compile_pattern(table: list[bytes]) -> "re.Pattern[bytes]":
+    # longest-first alternation → greedy longest match at each position;
+    # trailing '.' (DOTALL) consumes bytes not covered by any symbol.
+    alts = sorted(table, key=len, reverse=True)
+    pat = b"|".join(re.escape(s) for s in alts)
+    if pat:
+        pat += b"|"
+    return re.compile(pat + b"(?s:.)")
+
+
+def _fsst_decode_payload(enc: bytes, table: list[bytes]) -> bytes:
+    out = bytearray()
+    i, n = 0, len(enc)
+    append = out.extend
+    while i < n:
+        b = enc[i]
+        if b == _ESCAPE:
+            append(enc[i + 1 : i + 2])
+            i += 2
+        else:
+            append(table[b])
+            i += 1
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- encoders
+
+
+def encode_strings(strings, codec_id: int) -> bytes:
+    payload, lens = _concat(strings)
+    lens_blob = encode_ints_best(lens)
+    if codec_id == STR_PLAIN:
+        return bytes([STR_PLAIN]) + _U32.pack(len(lens)) + _child(lens_blob) + payload
+    if codec_id == STR_DICT:
+        uniq, codes = np.unique(np.asarray(strings, dtype=object), return_inverse=True)
+        dict_blob = encode_strings(list(uniq), STR_PLAIN)
+        codes_blob = _encode_ints(codes.astype(np.int32), _BITPACK)
+        return (
+            bytes([STR_DICT])
+            + _U32.pack(len(codes))
+            + _child(dict_blob)
+            + _child(codes_blob)
+        )
+    if codec_id == FSST:
+        sample = payload[:_SAMPLE_BYTES]
+        table = _train_symbols(sample)
+        # encode per string: symbols never span string boundaries (FSST's
+        # per-string semantics), which also yields exact per-string encoded
+        # lengths for random-access decode.
+        pattern = _compile_pattern(table)
+        code_of = {s: bytes([i]) for i, s in enumerate(table)}
+        esc = bytes([_ESCAPE])
+
+        def repl(m: "re.Match[bytes]") -> bytes:
+            c = code_of.get(m.group(0))
+            return c if c is not None else esc + m.group(0)
+
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        pieces = [
+            pattern.sub(repl, payload[offs[i] : offs[i + 1]])
+            for i in range(len(lens))
+        ]
+        enc = b"".join(pieces)
+        enc_lens = np.fromiter(
+            (len(p) for p in pieces), dtype=np.int32, count=len(pieces)
+        )
+        sym_blob = b"".join(bytes([len(s)]) + s for s in table)
+        return (
+            bytes([FSST])
+            + _U32.pack(len(lens))
+            + bytes([len(table)])
+            + _child(sym_blob)
+            + _child(encode_ints_best(enc_lens))
+            + enc
+        )
+    raise ValueError(f"unknown string codec {codec_id}")
+
+
+def encode_strings_auto(strings) -> tuple[bytes, int]:
+    """Pick STR_DICT / FSST / STR_PLAIN by measured size on the chunk."""
+    arr = np.asarray(strings, dtype=object)
+    n = len(arr)
+    if n == 0:
+        return encode_strings(arr, STR_PLAIN), STR_PLAIN
+    n_distinct = len(np.unique(arr))
+    candidates: list[tuple[int, bytes]] = []
+    if n_distinct <= max(16, n // 4):
+        candidates.append((STR_DICT, encode_strings(arr, STR_DICT)))
+    plain = encode_strings(arr, STR_PLAIN)
+    candidates.append((STR_PLAIN, plain))
+    # FSST only worth trying when payload is big enough to amortize the table
+    if len(plain) > 4096 and n_distinct > 16:
+        candidates.append((FSST, encode_strings(arr, FSST)))
+    codec_id, blob = min(candidates, key=lambda t: len(t[1]))
+    return blob, codec_id
+
+
+# ----------------------------------------------------------------- decoders
+
+
+def decode_strings(blob: bytes) -> list[str]:
+    if blob[0] == ZSTD:
+        return decode_strings(unwrap_zstd(blob))
+    codec_id = blob[0]
+    body = memoryview(blob)[1:]
+    if codec_id == STR_PLAIN:
+        (n,) = _U32.unpack_from(body, 0)
+        (llen,) = _U32.unpack_from(body, 4)
+        lens = decode_ints(bytes(body[8 : 8 + llen]))
+        payload = bytes(body[8 + llen :])
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return [payload[offs[i] : offs[i + 1]].decode("utf-8") for i in range(n)]
+    if codec_id == STR_DICT:
+        (n,) = _U32.unpack_from(body, 0)
+        (dlen,) = _U32.unpack_from(body, 4)
+        uniq = decode_strings(bytes(body[8 : 8 + dlen]))
+        (clen,) = _U32.unpack_from(body, 8 + dlen)
+        codes = decode_ints(bytes(body[12 + dlen : 12 + dlen + clen]))
+        uarr = np.asarray(uniq, dtype=object)
+        return list(uarr[codes])
+    if codec_id == FSST:
+        (n,) = _U32.unpack_from(body, 0)
+        n_sym = body[4]
+        (slen,) = _U32.unpack_from(body, 5)
+        sym_raw = bytes(body[9 : 9 + slen])
+        table, i = [], 0
+        for _ in range(n_sym):
+            ln = sym_raw[i]
+            table.append(sym_raw[i + 1 : i + 1 + ln])
+            i += 1 + ln
+        (ellen,) = _U32.unpack_from(body, 9 + slen)
+        enc_lens = decode_ints(bytes(body[13 + slen : 13 + slen + ellen]))
+        enc = bytes(body[13 + slen + ellen :])
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(enc_lens, out=offs[1:])
+        return [
+            _fsst_decode_payload(enc[offs[i] : offs[i + 1]], table).decode("utf-8")
+            for i in range(n)
+        ]
+    raise ValueError(f"unknown string codec {codec_id}")

@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference POC hand-manages memory (gc.collect, streaming fallback on low
+RAM — /root/reference/src/streaming_selector.py:96-134); in Spark the
+UnifiedMemoryManager + AQE replace all of that, but the session must be
+configured for it: AQE on, Arrow on (every heavy UDF here is a pandas UDF),
+shuffle partitions sized to the machine instead of the 200 default,
+LAST_WIN map-key dedup to match the reference's label-merge precedence
+(/root/reference/src/utils.py:113-126).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB on a 1000-executor cluster these come from spark-submit conf;
+# the values here are the local[N] test/bench defaults. Keys chosen so the
+# same code runs unchanged under a real cluster manager.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow batch size caps pandas-UDF batch memory; 10k rows × ≤4096 int32
+    # tokens ≈ 160 MB worst case per batch — safe at 128 GiB local, and the
+    # right order of magnitude for 4-8 GiB executors at cluster scale.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Reference merges labels with later-overrides-earlier precedence
+    # (utils.py:113-126); Spark's map_concat needs LAST_WIN to match.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(
+    app_name: str = "poc_parquet_aggregator_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls local[N] parallelism — the bench harness uses this to
+    evidence the two-cluster-size scaling criterion (local[8] vs local[32]).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # 2x cores: enough tasks to keep AQE coalescing meaningful locally;
+        # on a real cluster this is 2-3x total executor cores.
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = SparkSession.builder.master(f"local[{cores}]").appName(app_name)
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.default.parallelism"] = str(cores)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,123 @@
+"""Codec unit + property tests: encode→decode bit-identical on adversarial
+arrays (SURVEY.md §5 — the reference's expected-results oracle discipline,
+/root/reference/src/expected_results.py:309-431, applied per codec)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from poc_parquet_aggregator_spark.codecs import (
+    CODEC_NAMES,
+    decode_ints,
+    decode_strings,
+    encode_ints,
+    encode_ints_auto,
+    encode_strings_auto,
+    estimate_sizes,
+    int_stats,
+    unwrap_zstd,
+    wrap_zstd,
+)
+from poc_parquet_aggregator_spark.codecs import ints as CI
+from poc_parquet_aggregator_spark.codecs import strings as CS
+
+ALL_INT_CODECS = [CI.PLAIN, CI.BITPACK, CI.FOR, CI.RLE, CI.DICT]
+ALL_STR_CODECS = [CS.STR_PLAIN, CS.STR_DICT, CS.FSST]
+
+ADVERSARIAL = {
+    "empty": np.array([], np.int32),
+    "single": np.array([7], np.int32),
+    "single_run": np.full(1000, -3, np.int32),
+    "max_card": np.arange(10000, dtype=np.int32),
+    "negatives": np.array([-1, -(2**31), 2**31 - 1, 0], np.int32),
+    "int32_boundary": np.array([2**31 - 1, -(2**31)], np.int32),
+    "alternating": np.tile([0, 1], 5000).astype(np.int32),
+    "zipf": (np.random.default_rng(0).zipf(1.3, 50000) % 50257).astype(np.int32),
+}
+
+
+@pytest.mark.parametrize("name", list(ADVERSARIAL))
+@pytest.mark.parametrize("codec", ALL_INT_CODECS)
+def test_int_roundtrip_every_codec(name, codec):
+    a = ADVERSARIAL[name]
+    out = decode_ints(encode_ints(a, codec))
+    assert out.dtype == np.int32
+    assert np.array_equal(out, a)
+
+
+@pytest.mark.parametrize("name", list(ADVERSARIAL))
+def test_int_auto_and_zstd(name):
+    a = ADVERSARIAL[name]
+    blob, codec = encode_ints_auto(a)
+    assert np.array_equal(decode_ints(blob), a)
+    z = wrap_zstd(blob)
+    assert np.array_equal(decode_ints(z), a)
+    assert unwrap_zstd(z) == blob or z == blob
+
+
+def test_estimates_are_exact():
+    """The selector's size estimates equal actual encoded sizes — making
+    argmin selection provably optimal within the family."""
+    for name, a in ADVERSARIAL.items():
+        stats = int_stats(a)
+        est = estimate_sizes(stats)
+        for codec in ALL_INT_CODECS:
+            actual = len(encode_ints(a, codec))
+            if codec == CI.BITPACK and len(a) and a.min() < 0:
+                continue  # promoted to FOR; estimate models the promotion
+            if codec == CI.RLE:
+                # RLE child value codec is itself auto-selected; estimate
+                # assumes FOR child → actual may only be smaller
+                assert actual <= est[codec] + 16, (name, CODEC_NAMES[codec])
+            else:
+                assert actual == est[codec], (name, CODEC_NAMES[codec])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=0, max_size=300
+    )
+)
+def test_int_property_roundtrip(xs):
+    a = np.array(xs, dtype=np.int32)
+    for codec in ALL_INT_CODECS:
+        assert np.array_equal(decode_ints(encode_ints(a, codec)), a)
+    blob, _ = encode_ints_auto(a)
+    assert np.array_equal(decode_ints(wrap_zstd(blob)), a)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=0, max_size=100))
+def test_string_property_roundtrip(xs):
+    for codec in ALL_STR_CODECS:
+        assert decode_strings(CS.encode_strings(xs, codec)) == xs
+    blob, _ = encode_strings_auto(xs)
+    assert decode_strings(blob) == xs
+    assert decode_strings(wrap_zstd(blob)) == xs
+
+
+def test_selector_picks_the_right_regime():
+    rng = np.random.default_rng(0)
+    runs = np.repeat(rng.integers(0, 100, 500), 20).astype(np.int32)
+    _, codec = encode_ints_auto(runs)
+    assert CODEC_NAMES[codec] == "rle"
+    small = rng.integers(1000, 1032, 50000).astype(np.int32)
+    _, codec = encode_ints_auto(small)
+    assert CODEC_NAMES[codec] in ("for", "bitpack")
+
+
+def test_fsst_compresses_shared_prefixes():
+    docs = [f"doc-{i:012d}" for i in range(4000)]
+    blob = CS.encode_strings(docs, CS.FSST)
+    raw = sum(len(s) for s in docs)
+    assert len(blob) < raw
+    assert decode_strings(blob) == docs
+
+
+def test_str_dict_beats_plain_on_categoricals():
+    src = ["srcA"] * 9000 + ["srcB"] * 1000
+    blob, codec = encode_strings_auto(src)
+    assert codec == CS.STR_DICT
+    assert len(blob) < 0.05 * sum(len(s) for s in src)
