@@ -1,0 +1,16 @@
+"""Operator inventory exposed to the driver harness.
+
+Each SURVEY.md §2 operator (and each training-pipeline extra) is a named
+query: a DataFrame function ``fn(spark, sf_dir)`` paired with an ANSI-SQL
+DuckDB oracle. Collected here into the registries __spark_entry__ exports.
+"""
+
+from . import dedup, multimodal, relational, similarity, textstats
+
+QUERIES = {}
+ORACLES = {}
+for _m in (relational, dedup, similarity, textstats, multimodal):
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio decode libraries aren't in this container, so the decode
+kernel is a clearly-marked deterministic fake — but the Spark-side plumbing
+is real and oracle-checked: binary column schema, Arrow batch shape through
+mapInPandas, vectorized metadata extraction, and the partition-friendly
+(n_bytes-derived) outputs. Swap `_fake_decode` for a PIL/ffmpeg call and
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def _fake_decode(payload_lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """DETERMINISTIC FAKE of an image/video decode — stands in for the real
+    codec (not installed here). Metadata derives only from byte length, so
+    the DuckDB oracle can verify the plumbing end-to-end. Replace with e.g.
+    PIL.Image.open(io.BytesIO(buf)).size in a real deployment."""
+    width = payload_lengths % 640 + 1
+    height = (payload_lengths * 7) % 480 + 1
+    n_frames = payload_lengths // 1000 + 1
+    return width, height, n_frames
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        lens = np.fromiter(
+            (len(b) for b in pdf["payload"]), dtype=np.int64, count=len(pdf)
+        )
+        width, height, n_frames = _fake_decode(lens)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": lens,
+                "width": width,
+                "height": height,
+                "n_frames": n_frames,
+            }
+        )
+
+
+def q_multimodal_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload pipeline: text → binary column (stands in for an image
+    blob), mapInPandas decode (Arrow binary batches), metadata out. At scale
+    the binary column lives in its own parquet column chunk and the decode
+    is the only stage that touches it (column pruning keeps it off every
+    other operator's wire)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(_decode_batches, schema=DECODED_META)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 + 1 AS width,
+       (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+       octet_length(encode(text)) // 1000 + 1 AS n_frames
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing: explode a deterministic frame index list per
+    payload (every 5th frame) — the shape of video-frame extraction with the
+    decode stubbed."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    n_frames = F.octet_length(F.encode(F.col("text"), "utf-8")) / F.lit(1000)
+    frames = F.sequence(F.lit(0), n_frames.cast("long"), F.lit(1))
+    sampled = F.filter(frames, lambda i: i % 5 == 0)
+    return d.select(
+        "doc_id", F.explode(sampled).alias("frame_idx")
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id, unnest(list_filter(range(0, octet_length(encode(text)) // 1000 + 1, 1),
+                                  i -> i % 5 = 0)) AS frame_idx
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_decode_meta": q_multimodal_decode_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_decode_meta": ORACLE_MULTIMODAL,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+}

@@ -1,0 +1,856 @@
+"""SURVEY.md §2 operator inventory over the driver test tables.
+
+Each query re-expresses one reference operator (cited) as idiomatic
+DataFrame code; the paired ORACLES entry is the DuckDB-ANSI-SQL equivalent
+the driver compares against at sf=0.01. Column aliases match exactly on both
+sides (the driver hashes values under sorted column names).
+
+Cross-engine determinism policy (hard-won; see git history):
+  * float SUMs use scaled-integer aggregation: floor(x*S + 0.5) is a pure
+    binary IEEE op computed identically by Spark and DuckDB, the BIGINT sum
+    is exact regardless of partition order, and the final /S division of
+    identical integers yields bit-identical doubles on both engines
+  * NO fractional round() of doubles anywhere: Spark rounds the shortest
+    string repr (BigDecimal(double.toString), HALF_UP) while DuckDB rounds
+    the binary value — they disagree whenever the repr ends at the target
+    digit with a 5. Integer-target rounding is safe (exact .5 doubles are
+    representable and round identically), fractional is not.
+  * decimal casts of doubles are equally engine-dependent → avoided
+  * per-row double arithmetic (products, divisions) on identical inputs is
+    identical IEEE on both engines → raw doubles are emitted un-rounded
+  * timestamps surfaced as unix millis (unix_millis ≡ epoch_ms) or strings
+  * dedup/rank windows always carry total tiebreak orders
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import (
+    canonical_label_json,
+    days_in_month,
+    effective_usage,
+    filter_labels_by_enabled_keys,
+    merge_label_maps,
+    parse_labels,
+)
+from ..functions.scalars import to_usage_date
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_S = 1_000_000  # fixed-point scale for float sums (micro-units)
+
+
+def _fx(c: Column, scale: int = _S) -> Column:
+    """Fixed-point long form of a double (deterministic on both engines)."""
+    return F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def _isum(c: Column, scale: int = _S) -> Column:
+    """Deterministic cross-engine SUM of doubles: fixed-point long sum.
+    Headroom: 6e5 rows × 1e5 magnitude × 1e6 scale ≈ 6e16 ≪ 2^63."""
+    return F.sum(_fx(c, scale)) / F.lit(float(scale))
+
+
+def _duck_isum(expr: str, scale: int = _S) -> str:
+    return (
+        f"(CAST(sum(CAST(floor(({expr}) * {scale}.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" / {scale}.0)"
+    )
+
+
+# ───────────────────────────────── A1/A2: main daily rollup (flagship) ──────
+# Reference: aggregator_pod.py:649-739 (Trino 260-316) — groupBy + SUM with
+# unit conversion + MAX; partial/final agg (A2, aggregator_pod.py:384-419) is
+# Catalyst's HashAggregate for free. TPC-H-Q1-shaped over lineitem.
+
+
+def q_a1_daily_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    # money to integer cents, discount to integer percent: the weighted sum
+    # becomes exact integer arithmetic (identical on any engine/order)
+    cents = _fx(F.col("l_extendedprice"), 100)
+    pct = _fx(F.col("l_discount"), 100)
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _isum(F.col("l_quantity")).alias("sum_qty"),
+            (_isum(F.col("l_quantity")) / 3600.0).alias("sum_core_hours"),
+            _isum(F.col("l_extendedprice")).alias("sum_base_price"),
+            (F.sum(cents * (100 - pct)) / 10000.0).alias("sum_disc_price"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_orderkey").alias("first_orderkey"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_CENTS = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+_PCT = "CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)"
+
+ORACLE_A1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_duck_isum('l_quantity')}                              AS sum_qty,
+       {_duck_isum('l_quantity')} / 3600.0                     AS sum_core_hours,
+       {_duck_isum('l_extendedprice')}                         AS sum_base_price,
+       CAST(sum({_CENTS} * (100 - {_PCT})) AS BIGINT) / 10000.0 AS sum_disc_price,
+       max(l_quantity)                                         AS max_qty,
+       min(l_orderkey)                                         AS first_orderkey,
+       count(*)                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ───────────────────────────── P1: non-empty string filter ──────────────────
+# Reference: aggregator_pod.py:432-442 (Trino 309): node IS NOT NULL AND != ''
+
+
+def q_p1_nonempty_filter(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isNotNull() & (F.col("o_orderpriority") != ""))
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _isum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_P1 = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       {_duck_isum('o_totalprice')} AS sum_price
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> '' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+# ─────────────── P2: timestamp normalize (nise string form) + date ──────────
+# Reference: aggregator_pod.py:444-457 — the engine round-trips the string
+# form "YYYY-MM-DD HH:MM:SS +0000 UTC" through strip→parse→date.
+
+
+def q_p2_date_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    nise = F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" +0000 UTC"))
+    return (
+        ev.withColumn("usage_start", to_usage_date(nise))
+        .groupBy("usage_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            _isum(F.col("value")).alias("sum_value"),
+        )
+        .withColumn("usage_start", F.col("usage_start").cast("string"))
+    )
+
+
+ORACLE_P2 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS usage_start,
+       count(*) AS n_events, {_duck_isum('value')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ───────────────────────── P3: hour-floor join keys ─────────────────────────
+# Reference: cost_attributor.py:143-162 — .dt.floor("H") → date_trunc('hour')
+
+
+def q_p3_hour_floor(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "usage_hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+        )
+        .groupBy("usage_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            _isum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_P3 = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS usage_hour,
+       count(*) AS n_events, {_duck_isum('value')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ──────────────── P5: effective usage = coalesce(eff, greatest(u, r)) ───────
+# Reference: aggregator_pod.py:685-708, utils.py:188-237 (Trino 277/281)
+
+
+def q_p5_effective_usage(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    eff = effective_usage(
+        F.nullif(F.col("l_tax"), F.lit(0.0)) * 100.0,
+        F.col("l_quantity"),
+        F.col("l_discount") * 100.0,
+    )
+    return (
+        li.withColumn("effective", eff)
+        .groupBy("l_returnflag")
+        .agg(
+            _isum(F.col("effective")).alias("sum_effective"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_P5 = f"""
+SELECT l_returnflag,
+       {_duck_isum("coalesce(nullif(l_tax, 0.0) * 100.0, greatest(l_quantity, l_discount * 100.0))")}
+         AS sum_effective,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ─────────── P6+F8: unit conversions with days-in-month denominator ─────────
+# Reference: aggregator_storage.py:348-423, utils.py:164-185,
+# disk_capacity_calculator.py:57-79 (Trino last_day_of_month)
+
+
+def q_p6_unit_conversions(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .withColumn("days_in_month", days_in_month(F.col("o_orderdate")))
+        .groupBy("month", "days_in_month")
+        .agg(
+            (_isum(F.col("o_totalprice")) / 3600.0).alias("price_per_hour_sum"),
+            (
+                _isum(F.col("o_totalprice"))
+                * 1048576.0
+                / (86400.0 * F.first("days_in_month") * F.pow(F.lit(2.0), F.lit(30.0)))
+            ).alias("gb_months"),
+        )
+    )
+
+
+ORACLE_P6 = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       date_part('day', last_day(o_orderdate)) AS days_in_month,
+       {_duck_isum('o_totalprice')} / 3600.0 AS price_per_hour_sum,
+       {_duck_isum('o_totalprice')} * 1048576.0 /
+             (86400.0 * date_part('day', last_day(o_orderdate)) * power(2.0, 30.0))
+         AS gb_months
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ───────────────── P8: chained CASE predicate classification ────────────────
+# Reference: aws_data_loader.py:57-139 (network direction detection)
+
+
+def q_p8_case_classify(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").startswith("1-"), "urgent")
+        .when(F.col("o_orderpriority").startswith("2-"), "high")
+        .when(F.col("o_orderpriority").contains("MEDIUM"), "medium")
+        .otherwise("other")
+    )
+    return (
+        o.withColumn("priority_class", cls)
+        .groupBy("priority_class")
+        .agg(
+            F.count("*").alias("n"),
+            _isum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_P8 = f"""
+SELECT CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent'
+            WHEN o_orderpriority LIKE '2-%' THEN 'high'
+            WHEN o_orderpriority LIKE '%MEDIUM%' THEN 'medium'
+            ELSE 'other' END AS priority_class,
+       count(*) AS n, {_duck_isum('o_totalprice')} AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+# ──────── F1+F2+F3+F4/P13: label parse → merge → filter → canonical JSON ────
+# Reference: utils.py:59-161, tag_matcher.py:238-259; LAST_WIN precedence
+
+
+def q_f2_label_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    base = parse_labels(F.col("props"))
+    extra = F.create_map(
+        F.lit("event_type"), F.col("event_type"), F.lit("k"), F.lit("overridden")
+    )
+    merged = merge_label_maps(base, extra)  # later wins: k → 'overridden'
+    enabled = filter_labels_by_enabled_keys(merged, ["k", "event_type"])
+    return (
+        ev.withColumn("label_json", canonical_label_json(enabled))
+        .groupBy("label_json")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_F2 = """
+SELECT to_json(struct_pack(event_type := event_type, k := 'overridden')) AS label_json,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ───────────── J1/J2 + W2: label join with keep-last dedup ───────────────────
+# Reference: aggregator_pod.py:516-620 (merge) + :559 (drop_duplicates
+# keep='last' — "CRITICAL … Cartesian product"). Labels = latest event_type
+# per (day, user); broadcast left join onto the daily rollup.
+
+
+def q_j1_label_join_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").withColumn("usage_date", F.to_date("ts"))
+    w = Window.partitionBy("usage_date", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    labels = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("usage_date", "user_id", F.col("event_type").alias("day_label"))
+    )
+    daily = ev.groupBy("usage_date", "user_id").agg(
+        F.count("*").alias("n_events"),
+        _isum(F.col("value")).alias("sum_value"),
+    )
+    return daily.join(F.broadcast(labels), ["usage_date", "user_id"], "left").withColumn(
+        "usage_date", F.col("usage_date").cast("string")
+    )
+
+
+ORACLE_J1 = f"""
+WITH labels AS (
+  SELECT * FROM (
+    SELECT CAST(ts AS DATE) AS usage_date, user_id, event_type AS day_label,
+           row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+), daily AS (
+  SELECT CAST(ts AS DATE) AS usage_date, user_id,
+         count(*) AS n_events, {_duck_isum('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(d.usage_date AS VARCHAR) AS usage_date, d.user_id, d.n_events, d.sum_value, l.day_label
+FROM daily d LEFT JOIN labels l USING (usage_date, user_id)
+"""
+
+
+# ─────────────── J5: LIKE-pattern theta join + MAX(category) ────────────────
+# Reference: aggregator_pod.py:778-808 (Trino 264: namespace LIKE pattern →
+# MAX(cost_category_id)); broadcast non-equi join.
+
+
+_CATEGORIES = [
+    ("ECO%", 1),
+    ("%SMALL%", 2),
+    ("MED%", 3),
+    ("%O%", 4),  # overlapping pattern → MAX decides
+]
+
+
+def q_j5_like_theta_join(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part")
+    cats = spark.createDataFrame(_CATEGORIES, ["pattern", "category_id"])
+    matched = part.join(F.broadcast(cats), F.expr("p_type LIKE pattern"), "left")
+    return (
+        matched.groupBy("p_partkey")
+        .agg(F.max("category_id").alias("category_id"))
+        .groupBy("category_id")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+ORACLE_J5 = """
+WITH cats(pattern, category_id) AS (VALUES ('ECO%', 1), ('%SMALL%', 2), ('MED%', 3), ('%O%', 4)),
+matched AS (
+  SELECT p.p_partkey, max(c.category_id) AS category_id
+  FROM part p LEFT JOIN cats c ON p.p_type LIKE c.pattern
+  GROUP BY p.p_partkey)
+SELECT category_id, count(*) AS n_parts FROM matched GROUP BY category_id
+"""
+
+
+# ──────────── J8/J9: hourly-key inner join (resource-id matching) ───────────
+# Reference: cost_attributor.py:125-304 — OCP rows ⋈ small AWS side on
+# (key, hour); small side broadcast.
+
+
+def q_j8_hourly_inner_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    hours = ev.withColumn("usage_hour", F.date_trunc("hour", "ts"))
+    costs = hours.groupBy("user_id", "usage_hour").agg(
+        _isum(F.col("value")).alias("hour_cost")
+    )
+    joined = hours.join(F.broadcast(costs), ["user_id", "usage_hour"], "inner")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _isum(F.col("hour_cost")).alias("sum_hour_cost"),
+    )
+
+
+ORACLE_J8 = f"""
+WITH hours AS (SELECT *, date_trunc('hour', ts) AS usage_hour FROM events),
+costs AS (SELECT user_id, usage_hour, {_duck_isum('value')} AS hour_cost
+          FROM hours GROUP BY 1, 2)
+SELECT h.event_type, count(*) AS n,
+       {_duck_isum('c.hour_cost')} AS sum_hour_cost
+FROM hours h JOIN costs c USING (user_id, usage_hour)
+GROUP BY h.event_type
+"""
+
+
+# ───────────── J11: suffix-match theta join with priority cascade ───────────
+# Reference: resource_matcher.py:107-248 — aws_id.endswith(ocp_id), priority
+# node→PV→CSI, first match wins → broadcast LIKE-suffix join + row_number.
+
+
+_SUFFIXES = [("2", 1), ("5", 2), ("7", 3)]  # (digit suffix, priority)
+
+
+def q_j11_suffix_theta_join(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part")
+    dim = spark.createDataFrame(_SUFFIXES, ["suffix", "priority"])
+    joined = part.join(
+        F.broadcast(dim), F.col("p_brand").endswith(F.col("suffix")), "inner"
+    )
+    w = Window.partitionBy("p_partkey").orderBy("priority")
+    best = joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("suffix").agg(
+        F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey")
+    )
+
+
+ORACLE_J11 = """
+WITH dim(suffix, priority) AS (VALUES ('2', 1), ('5', 2), ('7', 3)),
+matched AS (
+  SELECT p.p_partkey, d.suffix, d.priority,
+         row_number() OVER (PARTITION BY p.p_partkey ORDER BY d.priority) AS rn
+  FROM part p JOIN dim d ON p.p_brand LIKE '%' || d.suffix)
+SELECT suffix, count(*) AS n_parts, min(p_partkey) AS min_partkey
+FROM matched WHERE rn = 1 GROUP BY suffix
+"""
+
+
+# ──────────────────── J17: anti join (unattributed remainder) ───────────────
+# Reference: cost_attributor.py:1150-1159 — ~isin(attributed ids) → left_anti
+
+
+def q_j17_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    no_f_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return no_f_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        _isum(F.col("c_acctbal")).alias("sum_acctbal"),
+    )
+
+
+ORACLE_J17 = f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       {_duck_isum('c_acctbal')} AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+# ───────────────────── J18: semi join (matched-id filter) ───────────────────
+# Reference: aggregator_ocp_aws.py:692-706 — isin(csi_handles) → left_semi
+
+
+def q_j18_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    active = s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+    return active.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+
+
+ORACLE_J18 = """
+SELECT s_nationkey, count(*) AS n_suppliers
+FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+GROUP BY s_nationkey
+"""
+
+
+# ──────── A3 + J4/W3: two-level capacity rollup + cluster fan-out ───────────
+# Reference: aggregator_pod.py:904-1073 — MAX per (hour, node) → SUM per
+# (day, node) → day total fanned back via window SUM (the J4 join expressed
+# idiomatically as a window).
+
+
+def q_a3_two_level_capacity(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    l1 = (
+        ev.withColumn("usage_hour", F.date_trunc("hour", "ts"))
+        .withColumn("usage_date", F.to_date("ts"))
+        .groupBy("usage_date", "usage_hour", "user_id")
+        .agg(F.max("value").alias("hour_cap"))
+    )
+    l2 = l1.groupBy("usage_date", "user_id").agg(
+        _isum(F.col("hour_cap")).alias("user_cap")
+    )
+    day_total = (
+        F.sum(_fx(F.col("user_cap"))).over(Window.partitionBy("usage_date"))
+        / F.lit(float(_S))
+    )
+    return l2.withColumn("day_total", day_total).withColumn(
+        "usage_date", F.col("usage_date").cast("string")
+    )
+
+
+ORACLE_A3 = f"""
+WITH l1 AS (
+  SELECT CAST(ts AS DATE) AS usage_date, date_trunc('hour', ts) AS usage_hour,
+         user_id, max(value) AS hour_cap
+  FROM events GROUP BY 1, 2, 3),
+l2 AS (
+  SELECT usage_date, user_id, {_duck_isum('hour_cap')} AS user_cap
+  FROM l1 GROUP BY 1, 2)
+SELECT CAST(usage_date AS VARCHAR) AS usage_date, user_id, user_cap,
+       CAST(sum(CAST(floor(user_cap * {_S}.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY usage_date) AS BIGINT) / {_S}.0 AS day_total
+FROM l2
+"""
+
+
+# ─────────────── A5 + J7: countDistinct + shared-resource division ──────────
+# Reference: aggregator_storage.py:284-309 — nunique(node) per PV, metrics
+# divided by node_count.
+
+
+def q_a5_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("usage_date", F.to_date("ts"))
+        .groupBy("usage_date", "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            _isum(F.col("value")).alias("sum_value"),
+        )
+        .withColumn("value_per_user", F.col("sum_value") / F.col("n_users"))
+        .withColumn("usage_date", F.col("usage_date").cast("string"))
+    )
+
+
+ORACLE_A5 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS usage_date, event_type,
+       count(DISTINCT user_id) AS n_users,
+       {_duck_isum('value')} AS sum_value,
+       {_duck_isum('value')} / count(DISTINCT user_id) AS value_per_user
+FROM events GROUP BY 1, 2
+"""
+
+
+# ───────────── A7: capacity derivation from cost/rate (round to int) ────────
+# Reference: disk_capacity_calculator.py:123-303 — MAX(cost), MAX(rate),
+# capacity = round(cost / (rate / hours_in_month)), keep > 0.
+# Integer-target round IS cross-engine-safe (exact .5 doubles round alike).
+
+
+def q_a7_capacity_derivation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.max("l_extendedprice").alias("max_cost"), F.max("l_discount").alias("max_rate")
+    )
+    cap = F.round(F.col("max_cost") / (F.col("max_rate") * 730.0 + 1.0)).cast("long")
+    return (
+        agg.withColumn("capacity", cap)
+        .filter(F.col("capacity") > 0)
+        .select("l_partkey", "capacity")
+    )
+
+
+ORACLE_A7 = """
+SELECT l_partkey,
+       CAST(round(max(l_extendedprice) / (max(l_discount) * 730.0 + 1.0)) AS BIGINT) AS capacity
+FROM lineitem GROUP BY l_partkey
+HAVING CAST(round(max(l_extendedprice) / (max(l_discount) * 730.0 + 1.0)) AS BIGINT) > 0
+"""
+
+
+# ──────────── A11: rollup with MIN(start)/MAX(end) timestamps ───────────────
+# Reference: network_cost_handler.py:171-193 (Trino 844-904)
+
+
+def q_a11_minmax_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        _isum(F.col("value")).alias("sum_value"),
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.max("ts").cast("timestamp")).alias("end_ms"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_A11 = f"""
+SELECT event_type, {_duck_isum('value')} AS sum_value,
+       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ─────────── A12/A15 + P7: unallocated = capacity − usage, with CASE ────────
+# Reference: aggregator_unallocated.py:176-292 (Trino 507-526)
+
+
+def q_a15_unallocated(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    per_user = (
+        ev.withColumn("usage_date", F.to_date("ts"))
+        .filter(~F.col("event_type").isin("error"))  # P7 synthetic-ns exclusion
+        .groupBy("usage_date", "user_id")
+        .agg(
+            F.max("value").alias("capacity_proxy"),
+            _isum(F.col("value")).alias("usage"),
+        )
+        .withColumn(
+            "unallocated",
+            F.greatest(F.col("capacity_proxy") * 24.0 - F.col("usage"), F.lit(0.0)),
+        )
+    )
+    return (
+        per_user.groupBy("usage_date")
+        .agg(
+            _isum(F.col("unallocated")).alias("sum_unallocated"),
+            F.count("*").alias("n_users"),
+        )
+        .withColumn("usage_date", F.col("usage_date").cast("string"))
+    )
+
+
+ORACLE_A15 = f"""
+WITH per_user AS (
+  SELECT CAST(ts AS DATE) AS usage_date, user_id,
+         greatest(max(value) * 24.0 - {_duck_isum('value')}, 0.0) AS unallocated
+  FROM events WHERE event_type NOT IN ('error')
+  GROUP BY 1, 2)
+SELECT CAST(usage_date AS VARCHAR) AS usage_date,
+       {_duck_isum('unallocated')} AS sum_unallocated, count(*) AS n_users
+FROM per_user GROUP BY usage_date
+"""
+
+
+# ───────────────── W1: ratio normalization window ───────────────────────────
+# Reference: cost_attributor.py:519-573 — transform('sum') per (resource,
+# hour); shares sum to 1 within the partition.
+
+
+def q_w1_ratio_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts"))
+    denom = F.sum(_fx(F.col("value"))).over(w) / F.lit(float(_S))
+    # nullif: an all-zero partition yields NULL share (ANSI div-by-zero safe)
+    return ev.select(
+        "event_id", (F.col("value") / F.nullif(denom, F.lit(0.0))).alias("cost_share")
+    )
+
+
+ORACLE_W1 = f"""
+SELECT event_id,
+       value / nullif(CAST(sum(CAST(floor(value * {_S}.0 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS BIGINT) / {_S}.0, 0.0)
+         AS cost_share
+FROM events
+"""
+
+
+# ──────────── U1: unionByName with missing columns ──────────────────────────
+# Reference: main.py:433,470 — pd.concat of pod+storage summaries →
+# unionByName(allowMissingColumns=True)
+
+
+def q_u1_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").withColumn("usage_date", F.to_date("ts"))
+    pod = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("usage_date")
+        .agg(
+            _isum(F.col("value")).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("summary_type", F.lit("pod"))
+    )
+    storage = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("usage_date")
+        .agg(_isum(F.col("value")).alias("sum_value"))
+        .withColumn("summary_type", F.lit("storage"))
+    )
+    return pod.unionByName(storage, allowMissingColumns=True).withColumn(
+        "usage_date", F.col("usage_date").cast("string")
+    )
+
+
+ORACLE_U1 = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS usage_date,
+       {_duck_isum('value')} AS sum_value,
+       count(DISTINCT user_id) AS n_users, 'pod' AS summary_type
+FROM events WHERE event_type = 'click' GROUP BY 1
+UNION ALL
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR), {_duck_isum('value')}, NULL, 'storage'
+FROM events WHERE event_type = 'view' GROUP BY 1
+"""
+
+
+# ─────────── F7: LIKE-family string predicates (single-row summary) ─────────
+# Reference: resource_matcher.py:173,192,214; aggregator_pod.py:796-799
+
+
+def q_f7_string_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.agg(
+        F.sum(F.when(F.col("p_type").startswith("ECO"), 1).otherwise(0)).alias("n_eco"),
+        F.sum(F.when(F.col("p_name").contains("widget"), 1).otherwise(0)).alias("n_widget"),
+        F.sum(F.when(F.col("p_brand").endswith("3"), 1).otherwise(0)).alias("n_brand3"),
+    )
+
+
+ORACLE_F7 = """
+SELECT sum(CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END) AS n_eco,
+       sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widget,
+       sum(CASE WHEN p_brand LIKE '%3' THEN 1 ELSE 0 END) AS n_brand3
+FROM part
+"""
+
+
+# ─────── F12/F13: lpad month key + decimal(33,9)-style money formatting ─────
+# Reference: db_writer.py:435-436 (Trino 665 lpad), utils.py:280-292.
+# Money formatted from exact integer cents → identical strings everywhere.
+
+
+def q_f12_formatting(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    cents = _fx(F.col("o_totalprice"), 100)
+    return (
+        o.withColumn("year", F.year("o_orderdate").cast("string"))
+        .withColumn("month", F.lpad(F.month("o_orderdate").cast("string"), 2, "0"))
+        .groupBy("year", "month")
+        .agg(F.sum(cents).alias("sum_cents"), F.count("*").alias("n"))
+        .withColumn(
+            "total_decimal",
+            F.format_string(
+                "%d.%02d0000000",
+                (F.col("sum_cents") / 100).cast("long"),
+                (F.col("sum_cents") % 100).cast("long"),
+            ),
+        )
+        .drop("sum_cents")
+    )
+
+
+ORACLE_F12 = """
+WITH agg AS (
+  SELECT CAST(date_part('year', o_orderdate) AS VARCHAR) AS year,
+         lpad(CAST(date_part('month', o_orderdate) AS VARCHAR), 2, '0') AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2)
+SELECT year, month, n,
+       printf('%d.%02d0000000', sum_cents // 100, sum_cents % 100) AS total_decimal
+FROM agg
+"""
+
+
+# ─────────────── flagship multi-join (J3-shaped star join) ──────────────────
+# Reference shape: aggregator_ocp_aws multi-way joins; TPC-H-Q3-like:
+# customer ⋈ orders ⋈ lineitem with broadcast dimensions.
+
+
+def q_star_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    cents = _fx(F.col("l_extendedprice"), 100)
+    pct = _fx(F.col("l_discount"), 100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            (F.sum(cents * (100 - pct)) / 10000.0).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_STAR = f"""
+SELECT n.n_name, c.c_mktsegment,
+       CAST(sum({_CENTS} * (100 - {_PCT})) AS BIGINT) / 10000.0 AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+"""
+
+
+QUERIES = {
+    "a1_daily_rollup": q_a1_daily_rollup,
+    "p1_nonempty_filter": q_p1_nonempty_filter,
+    "p2_date_extract": q_p2_date_extract,
+    "p3_hour_floor": q_p3_hour_floor,
+    "p5_effective_usage": q_p5_effective_usage,
+    "p6_unit_conversions": q_p6_unit_conversions,
+    "p8_case_classify": q_p8_case_classify,
+    "f2_label_pipeline": q_f2_label_pipeline,
+    "j1_label_join_dedup": q_j1_label_join_dedup,
+    "j5_like_theta_join": q_j5_like_theta_join,
+    "j8_hourly_inner_join": q_j8_hourly_inner_join,
+    "j11_suffix_theta_join": q_j11_suffix_theta_join,
+    "j17_anti_join": q_j17_anti_join,
+    "j18_semi_join": q_j18_semi_join,
+    "a3_two_level_capacity": q_a3_two_level_capacity,
+    "a5_count_distinct": q_a5_count_distinct,
+    "a7_capacity_derivation": q_a7_capacity_derivation,
+    "a11_minmax_rollup": q_a11_minmax_rollup,
+    "a15_unallocated": q_a15_unallocated,
+    "w1_ratio_normalize": q_w1_ratio_normalize,
+    "u1_union_by_name": q_u1_union_by_name,
+    "f7_string_predicates": q_f7_string_predicates,
+    "f12_formatting": q_f12_formatting,
+    "star_join_revenue": q_star_join_revenue,
+}
+
+ORACLES = {
+    "a1_daily_rollup": ORACLE_A1,
+    "p1_nonempty_filter": ORACLE_P1,
+    "p2_date_extract": ORACLE_P2,
+    "p3_hour_floor": ORACLE_P3,
+    "p5_effective_usage": ORACLE_P5,
+    "p6_unit_conversions": ORACLE_P6,
+    "p8_case_classify": ORACLE_P8,
+    "f2_label_pipeline": ORACLE_F2,
+    "j1_label_join_dedup": ORACLE_J1,
+    "j5_like_theta_join": ORACLE_J5,
+    "j8_hourly_inner_join": ORACLE_J8,
+    "j11_suffix_theta_join": ORACLE_J11,
+    "j17_anti_join": ORACLE_J17,
+    "j18_semi_join": ORACLE_J18,
+    "a3_two_level_capacity": ORACLE_A3,
+    "a5_count_distinct": ORACLE_A5,
+    "a7_capacity_derivation": ORACLE_A7,
+    "a11_minmax_rollup": ORACLE_A11,
+    "a15_unallocated": ORACLE_A15,
+    "w1_ratio_normalize": ORACLE_W1,
+    "u1_union_by_name": ORACLE_U1,
+    "f7_string_predicates": ORACLE_F7,
+    "f12_formatting": ORACLE_F12,
+    "star_join_revenue": ORACLE_STAR,
+}

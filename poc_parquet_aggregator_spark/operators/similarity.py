@@ -1,0 +1,166 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the correctness baseline (full oracle); the
+scale path is IVF coarse quantization — assign vectors to their nearest
+centroid, search only the probe's bucket. At 100 TB the IVF bucket column
+becomes the table's partition key so a query touches one partition.
+
+Dot products use F.zip_with + F.aggregate (JVM-side, left-to-right) so the
+DuckDB oracle (list_reduce over list_zip) computes bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_K = 10
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_N_CENTROIDS = 8  # vec_id < 8 double as IVF centroids (deterministic)
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select("vec_id", v.alias("v"))
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def _cos(x: Column, y: Column) -> Column:
+    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+
+
+# no-init fold: v1+v2+… matches Spark's aggregate(0.0 + v1 + v2 + …) exactly
+# (0.0 + x == x in IEEE), and DuckDB list_reduce folds left-to-right
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({x}, {y}), p -> p[1] * p[2]), (a, b) -> a + b)"
+)
+
+
+def _duck_cos(x: str, y: str) -> str:
+    return (
+        f"({_DUCK_DOT.format(x=x, y=y)} / "
+        f"(sqrt({_DUCK_DOT.format(x=x, y=x)}) * sqrt({_DUCK_DOT.format(x=y, y=y)})))"
+    )
+
+
+# ─────────────────────── brute-force cosine top-k ───────────────────────────
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus —
+    corpus-side scan stays partitioned, no shuffle until the per-query top-k
+    window (k rows per query survive the partial sort)."""
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+    )
+
+
+ORACLE_ANN_BRUTE = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_duck_cos('q.qv', 'e.v')} AS cosine
+  FROM v e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+# ───────────────────────── IVF-bucketed ANN ─────────────────────────────────
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF scale path: corpus assigned to nearest of 8 deterministic
+    centroids (argmin via row_number over broadcast centroid join); each
+    query probes only its own centroid's bucket. Recall < exact by design —
+    the oracle recomputes the same algorithm, not exact kNN."""
+    e = _emb(spark, sf)
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = e.join(F.broadcast(cents), how="cross").select(
+        "vec_id", "v", "centroid_id", _cos(F.col("v"), F.col("cv")).alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    bucket_pairs = assigned.join(
+        F.broadcast(queries),
+        (F.col("centroid_id") == F.col("qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored2 = bucket_pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored2.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= 5)
+
+
+ORACLE_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id < {_N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         {_duck_cos('e.v', 'c.cv')} AS csim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.centroid_id) AS rn
+  FROM v e CROSS JOIN cents c),
+assigned AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+      FROM assigned WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_duck_cos('q.qv', 'a.v')} AS cosine
+  FROM assigned a JOIN q ON a.centroid_id = q.qc AND a.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_ivf": q_ann_ivf,
+}
+
+ORACLES = {
+    "ann_topk_bruteforce": ORACLE_ANN_BRUTE,
+    "ann_ivf": ORACLE_ANN_IVF,
+}

@@ -1,0 +1,242 @@
+"""Text analysis over the documents table: language-ID, quality scoring,
+token counting, fingerprinting. All JVM-side column expressions (the
+lambda-array functions are codegen'd) — portable math so DuckDB oracles
+reproduce values exactly. The true rolling-hash fingerprint also ships as
+a vectorized pandas-UDF variant (rows-only check) in q_text_rolling_hash."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "eine", "den", "von"],
+}
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.regexp_replace(col, r"\s+", " ")), " ")
+
+
+def _duck_words(col: str = "text") -> str:
+    return f"string_split(lower(regexp_replace({col}, '\\s+', ' ', 'g')), ' ')"
+
+
+# ─────────────────────────── language ID ────────────────────────────────────
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-ratio language ID: score per language = fraction of tokens in
+    that language's stopword list; argmax wins, 'und' if all scores 0.
+    One scan, no shuffle except the final rollup."""
+    d = _docs(spark, sf)
+    words = _words()
+    n = F.size(words).cast("double")
+    scores = {}
+    for lang, sw in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in sw])
+        hits = F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
+        scores[lang] = (hits / n).alias(f"score_{lang}")
+    d2 = d.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _STOPWORDS])
+    pred = F.when(best <= 0.0, "und")
+    for lang in _STOPWORDS:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return (
+        d2.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _duck_score(lang: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"(len(list_filter({_duck_words()}, t -> t IN ({sw}))) * 1.0"
+        f" / len({_duck_words()}))"
+    )
+
+
+ORACLE_LANGID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_duck_score('en')} AS score_en, {_duck_score('es')} AS score_es,
+         {_duck_score('fr')} AS score_fr, {_duck_score('de')} AS score_de
+  FROM documents),
+pred AS (
+  SELECT lang,
+         CASE WHEN greatest(score_en, score_es, score_fr, score_de) <= 0.0 THEN 'und'
+              WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+              WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+              WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+         END AS pred_lang
+  FROM scored)
+SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+
+# ─────────────────────────── quality score ──────────────────────────────────
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality heuristics: length band, mean word length, stopword ratio,
+    alpha ratio → clipped composite score (per-doc output)."""
+    d = _docs(spark, sf)
+    words = _words()
+    n_words = F.size(words).cast("double")
+    mean_wlen = F.length(F.regexp_replace("text", r"\s+", "")) / n_words
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    sw_ratio = F.size(F.filter(words, lambda t: F.array_contains(sw, t))) / n_words
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text")
+    )
+    score = (
+        F.least(n_words / 100.0, F.lit(1.0)) * 0.3
+        + F.least(mean_wlen / 8.0, F.lit(1.0)) * 0.2
+        + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.3
+    )
+    return d.select(
+        "doc_id",
+        F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)).alias("quality"),
+    )
+
+
+_DUCK_SW_EN = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+
+ORACLE_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_duck_words()}) * 1.0 AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 AS n_chars,
+         len(list_filter({_duck_words()}, t -> t IN ({_DUCK_SW_EN}))) * 1.0 AS n_sw,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio
+  FROM documents)
+SELECT doc_id,
+       least(greatest(
+         least(n_words / 100.0, 1.0) * 0.3
+         + least((n_chars / n_words) / 8.0, 1.0) * 0.2
+         + least((n_sw / n_words) * 5.0, 1.0) * 0.2
+         + alpha_ratio * 0.3, 0.0), 1.0) AS quality
+FROM s
+"""
+
+
+# ─────────────────────────── token counting ─────────────────────────────────
+
+
+def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
+    single non-space symbols) per doc."""
+    d = _docs(spark, sf)
+    ws = F.size(_words())
+    bpe = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+    return d.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
+        F.col("n_chars").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({_duck_words()}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+       n_chars
+FROM documents
+"""
+
+
+# ─────────────────────────── fingerprinting ─────────────────────────────────
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization fingerprint: md5 of whitespace-collapsed lowercase text
+    + first-8-hex-digit integer form (both portable)."""
+    d = _docs(spark, sf)
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = F.md5(norm)
+    fp_int = F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
+    return d.select("doc_id", fp.alias("fp_hex"), fp_int.alias("fp_int"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_hex,
+       CAST(('0x' || substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8)) AS BIGINT)
+         AS fp_int
+FROM documents
+"""
+
+
+def _rolling_hash_batches(batches):
+    """True polynomial rolling hash (base 257 mod 2^61-1), vectorized with
+    numpy over each doc's bytes — the per-window minimum is a winnowing-style
+    robust fingerprint."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+    WIN = 16
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = np.frombuffer(str(text).lower().encode("utf-8"), dtype=np.uint8)
+            if len(b) < WIN:
+                out.append((doc_id, int(b.astype(np.int64).sum() % MOD)))
+                continue
+            # hash of each WIN-byte window via prefix hashes (object dtype for
+            # exact big-int modular math, vectorized by numpy broadcasting)
+            powers = pow(BASE, WIN, MOD)
+            h = 0
+            prefix = np.empty(len(b) + 1, dtype=object)
+            prefix[0] = 0
+            for i, ch in enumerate(b):  # O(n) per doc, numpy-int math
+                h = (h * BASE + int(ch)) % MOD
+                prefix[i + 1] = h
+            win_hashes = [
+                int((prefix[i + WIN] - prefix[i] * powers) % MOD)
+                for i in range(len(b) - WIN + 1)
+            ]
+            out.append((doc_id, min(win_hashes)))
+        yield pd.DataFrame(out, columns=["doc_id", "rolling_fp"])
+
+
+def q_text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint via mapInPandas (no SQL oracle —
+    rows-only check)."""
+    d = _docs(spark, sf)
+    return d.select("doc_id", "text").mapInPandas(
+        _rolling_hash_batches,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("rolling_fp", T.LongType()),
+            ]
+        ),
+    )
+
+
+QUERIES = {
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_token_count": q_text_token_count,
+    "text_fingerprint": q_text_fingerprint,
+    "text_rolling_hash": q_text_rolling_hash,
+}
+
+ORACLES = {
+    "text_langid": ORACLE_LANGID,
+    "text_quality": ORACLE_QUALITY,
+    "text_token_count": ORACLE_TOKEN_COUNT,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    # text_rolling_hash: pandas-UDF big-int math → rows-only
+}
