@@ -1,15 +1,23 @@
 """Per-round benchmark harness.
 
-Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-on local[$SPARK_GRAFT_CPUS], then the encode job on the deterministic token
-table at two parallelism levels (N=CPUS/4 and 4N=CPUS cores — the in-sandbox
-stand-in for the north rule's N vs 4N executors), and prints ONE JSON line:
-
-  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "encode": {...}}
 
-Queries are forced with a noop write (count() would let Catalyst prune the
-compute). Timings exclude session startup.
+Parts:
+ 1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+    on local[$SPARK_GRAFT_CPUS]; each forced with a noop write (count()
+    lets Catalyst prune the compute).
+ 2. encode benchmark on the deterministic 400k-doc token table (32 files,
+    ~97M tokens):
+      * scaling pair: archive mode (zstd level 15 — CPU-bound, the
+        storage-bound 100 TB setting) at local[2] vs local[8] = the N vs 4N
+        criterion from BASELINE.md. Median of 3 runs after a warm run
+        (first run pays python-worker spawn + JIT).
+      * fast mode (zstd 3) at local[$SPARK_GRAFT_CPUS] for peak throughput.
+    This host has ~15 GB/s total memory bandwidth saturating at ~8 procs
+    (see BENCH/BASELINE.md) — scaling is evidenced where the job is
+    CPU-bound, not bandwidth-capped.
 """
 
 from __future__ import annotations
@@ -17,9 +25,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -35,11 +46,21 @@ HEADLINE = [
     "multimodal_decode_meta",
 ]
 
-N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
+ENC_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_data_dir() -> str:
+    from poc_parquet_aggregator_spark.sources import write_token_table
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "tokens_bench400")
+    if not os.path.exists(d) or len(os.listdir(d)) < N_BENCH_DOCS // 12_500:
+        write_token_table(d, N_BENCH_DOCS, docs_per_file=12_500)
+    return d
 
 
 def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
@@ -47,8 +68,7 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
 
     spark = get_spark("bench_queries", cores=cpus)
-    # JVM/codegen warmup so q1 isn't charged for JIT
-    _force(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    _force(spark.read.parquet(f"{sf_dir}/nation.parquet"))  # JVM warmup
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -58,33 +78,34 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
-def run_encode(cpus: int, tag: str) -> dict:
+def run_encode(cores: int, zstd_level: int, verify: bool = False) -> dict:
     from poc_parquet_aggregator_spark.encode import decode_verify, encode_dataset
     from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
-    from poc_parquet_aggregator_spark.sources import write_token_table
 
-    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "tokens_bench")
-    if not os.path.exists(data_dir) or not os.listdir(data_dir):
-        write_token_table(data_dir, N_BENCH_DOCS, docs_per_file=12_500)
-    out_dir = f"/tmp/bench_encode_{tag}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    spark = get_spark(f"bench_encode_{tag}", cores=cpus)
-    # warmup (JVM + python worker pool) on a single file
-    files = sorted(os.listdir(data_dir))
-    encode_dataset(spark, [os.path.join(data_dir, files[0])], out_dir + "_warm")
-    shutil.rmtree(out_dir + "_warm", ignore_errors=True)
-    m = encode_dataset(spark, data_dir, out_dir)
-    verify = decode_verify(spark, data_dir, out_dir)
+    data_dir = _bench_data_dir()
+    out_dir = f"/dev/shm/bench_encode_c{cores}_l{zstd_level}"
+    spark = get_spark(f"bench_encode_{cores}", cores=cores)
+    walls, metrics = [], None
+    for _ in range(ENC_RUNS + 1):  # first run = warm (worker spawn, JIT)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        metrics = encode_dataset(spark, data_dir, out_dir, zstd_level=zstd_level)
+        walls.append(metrics["wall_s"])
+    res = {
+        "cores": cores,
+        "zstd_level": zstd_level,
+        "tokens": metrics["n_tokens"],
+        "wall_s_runs": [round(w, 2) for w in walls],
+        "wall_s_median": round(statistics.median(walls[1:]), 3),
+        "tokens_per_s": round(metrics["n_tokens"] / statistics.median(walls[1:])),
+        "ratio_vs_parquet_zstd": round(metrics["ratio_vs_parquet_zstd"], 4),
+    }
+    if verify:
+        res["bit_identical"] = bool(
+            decode_verify(spark, data_dir, out_dir)["bit_identical"]
+        )
     stop_spark()
     shutil.rmtree(out_dir, ignore_errors=True)
-    return {
-        "cores": cpus,
-        "tokens": m["n_tokens"],
-        "wall_s": round(m["wall_s"], 3),
-        "tokens_per_s": round(m["tokens_per_s"]),
-        "ratio_vs_parquet_zstd": round(m["ratio_vs_parquet_zstd"], 4),
-        "bit_identical": bool(verify["bit_identical"]),
-    }
+    return res
 
 
 def main() -> None:
@@ -94,10 +115,12 @@ def main() -> None:
 
     queries = run_queries(sf_dir, cpus)
 
-    n_small = max(cpus // 4, 1)
-    enc_small = run_encode(n_small, f"n{n_small}")
-    enc_big = run_encode(cpus, f"n{cpus}")
-    eff = enc_big["tokens_per_s"] / (4.0 * enc_small["tokens_per_s"])
+    # N vs 4N scaling criterion (archive mode = CPU-bound; see module doc)
+    enc_n = run_encode(2, zstd_level=15)
+    enc_4n = run_encode(8, zstd_level=15, verify=True)
+    eff = enc_4n["tokens_per_s"] / (4.0 * enc_n["tokens_per_s"])
+    # peak throughput, fast mode, all cores
+    enc_fast = run_encode(cpus, zstd_level=3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -109,9 +132,10 @@ def main() -> None:
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "encode": {
-                    f"local[{n_small}]": enc_small,
-                    f"local[{cpus}]": enc_big,
+                    "scaling_N_cores2": enc_n,
+                    "scaling_4N_cores8": enc_4n,
                     "scaling_efficiency": round(eff, 3),
+                    "fast_mode_full_cores": enc_fast,
                 },
             }
         )

@@ -41,7 +41,14 @@ CODEC_NAMES = {
 _U32 = struct.Struct("<I")
 _I64 = struct.Struct("<q")
 
-_zstd_codec = pa.Codec("zstd", compression_level=3)
+_ZSTD_CODECS: dict[int, pa.Codec] = {}
+
+
+def _zstd(level: int) -> pa.Codec:
+    c = _ZSTD_CODECS.get(level)
+    if c is None:
+        c = _ZSTD_CODECS[level] = pa.Codec("zstd", compression_level=level)
+    return c
 
 
 # ---------------------------------------------------------------- bit packing
@@ -66,6 +73,14 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if width == 0 or n == 0:
         return b""
+    # byte-aligned widths: a single cast IS the packing (bulk of real data:
+    # full-vocab token streams are width 16, byte-range deltas width 8)
+    if width == 8:
+        return values.astype(np.uint8).tobytes()
+    if width == 16:
+        return values.astype(np.uint16).tobytes()
+    if width == 32:
+        return values.astype(np.uint32, copy=False).tobytes()
     n_blocks = (n + 63) // 64
     v = np.zeros(n_blocks * 64, dtype=np.uint64)
     v[:n] = values.astype(np.uint64, copy=False)
@@ -88,6 +103,12 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of pack_bits → uint32 array of length n."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint32)
+    if width == 8:
+        return np.frombuffer(buf, dtype=np.uint8, count=n).astype(np.uint32)
+    if width == 16:
+        return np.frombuffer(buf, dtype=np.uint16, count=n).astype(np.uint32)
+    if width == 32:
+        return np.frombuffer(buf, dtype=np.uint32, count=n).copy()
     n_blocks = (n + 63) // 64
     raw = np.zeros(n_blocks * width * 8, dtype=np.uint8)
     raw[: len(buf)] = np.frombuffer(buf, dtype=np.uint8)
@@ -130,15 +151,18 @@ def _enc_for(a: np.ndarray, codec_id: int = FOR) -> bytes:
     """Frame-of-reference: store min as int64 ref, bit-pack deltas.
 
     BITPACK is the ref=0 special case (only valid when min >= 0).
+    Deltas are computed in uint32 wraparound arithmetic (span always fits
+    32 bits for int32 input) — no int64 round-trip, half the memory traffic.
     """
     n = len(a)
     if n == 0:
         return bytes([codec_id]) + _U32.pack(0) + _I64.pack(0) + b"\x00"
-    a64 = a.astype(np.int64, copy=False)
-    ref = 0 if codec_id == BITPACK else int(a64.min())
-    deltas = a64 - ref
-    width = _bit_width(int(deltas.max()))
-    packed = pack_bits(deltas.astype(np.uint32), width)
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    lo, hi = int(a.min()), int(a.max())
+    ref = 0 if codec_id == BITPACK else lo
+    width = _bit_width(hi - ref)
+    deltas = a.view(np.uint32) - np.uint32(ref & 0xFFFFFFFF)  # exact mod 2^32
+    packed = pack_bits(deltas, width)
     return (
         bytes([codec_id]) + _U32.pack(n) + _I64.pack(ref) + bytes([width]) + packed
     )
@@ -195,7 +219,8 @@ def decode_ints(blob: bytes) -> np.ndarray:
         (ref,) = _I64.unpack_from(body, 4)
         width = body[12]
         deltas = unpack_bits(bytes(body[13:]), n, width)
-        return (deltas.astype(np.int64) + ref).astype(np.int32)
+        # uint32 wraparound add — exact inverse of the encode-side subtract
+        return (deltas + np.uint32(ref & 0xFFFFFFFF)).view(np.int32)
     if codec_id == RLE:
         (n,) = _U32.unpack_from(body, 0)
         (vlen,) = _U32.unpack_from(body, 4)
@@ -219,23 +244,32 @@ def decode_ints(blob: bytes) -> np.ndarray:
 # ----------------------------------------------------------------- statistics
 
 
+_DISTINCT_SAMPLE = 262_144
+
+
 def int_stats(a: np.ndarray) -> dict:
     """Chunk statistics driving codec selection (north rule: cardinality /
-    run-length / value-range)."""
+    run-length / value-range). min/max/runs are exact single passes;
+    distinct count switches to a deterministic stride sample above 256k
+    values (a full np.unique is an O(n log n) sort — the bandwidth hog of
+    the whole encoder). The sampled d only shifts the DICT size estimate
+    by a fraction of a bit of code width, and the choice stays
+    deterministic for resume."""
     n = len(a)
     if n == 0:
         return {"n": 0, "min": 0, "max": 0, "n_distinct": 0, "n_runs": 0}
-    a64 = a.astype(np.int64, copy=False)
     n_runs = 1 + int(np.count_nonzero(a[1:] != a[:-1]))
-    # exact distinct count: np.unique on ≤ a few M int32 is ~ms and makes the
-    # DICT estimate exact; at larger chunk sizes switch to a sample.
-    n_distinct = len(np.unique(a)) if n <= 8_000_000 else len(
-        np.unique(a[:: max(1, n // 1_000_000)])
-    )
+    if n <= _DISTINCT_SAMPLE:
+        n_distinct = len(np.unique(a))
+    else:
+        stride = n // _DISTINCT_SAMPLE + 1
+        d_s = len(np.unique(a[::stride]))
+        # scale toward n conservatively: distinct can't exceed n or be below d_s
+        n_distinct = min(n, max(d_s, int(d_s * (n / (n // stride + 1)) ** 0.5)))
     return {
         "n": n,
-        "min": int(a64.min()),
-        "max": int(a64.max()),
+        "min": int(a.min()),
+        "max": int(a.max()),
         "n_distinct": n_distinct,
         "n_runs": n_runs,
     }
@@ -292,11 +326,17 @@ def encode_ints_auto(a: np.ndarray) -> tuple[bytes, int]:
 # ------------------------------------------------------------- zstd post-pass
 
 
-def wrap_zstd(blob: bytes) -> bytes:
+def wrap_zstd(blob: bytes, level: int = 3) -> bytes:
     """Transparent block compression over a codec blob — the same cascade
     Parquet applies (zstd over dict/RLE pages), kept as an explicit outer
-    wrapper so lightweight-only mode is one flag away."""
-    comp = _zstd_codec.compress(blob, asbytes=True)
+    wrapper so lightweight-only mode is one flag away.
+
+    ``level`` is the effort knob: 3 = throughput mode, 15 = archive mode
+    (~13× more CPU per byte, slightly better ratio). Archive mode is the
+    storage-bound 100 TB setting — and being CPU-bound, it scales linearly
+    with executors where the fast mode hits the memory-bandwidth ceiling.
+    """
+    comp = _zstd(level).compress(blob, asbytes=True)
     if len(comp) + 5 >= len(blob) + 1:
         return blob  # incompressible: keep inner blob (id != ZSTD marks it)
     return bytes([ZSTD]) + _U32.pack(len(blob)) + comp
@@ -306,4 +346,4 @@ def unwrap_zstd(blob: bytes) -> bytes:
     if blob[0] != ZSTD:
         return blob
     (raw_len,) = _U32.unpack_from(blob, 1)
-    return _zstd_codec.decompress(bytes(memoryview(blob)[5:]), raw_len, asbytes=True)
+    return _zstd(3).decompress(bytes(memoryview(blob)[5:]), raw_len, asbytes=True)

@@ -1,10 +1,13 @@
 from .chunk import decode_token_chunk, encode_token_chunk
-from .pipeline import decode_verify, encode_dataset, read_manifest
+from .pipeline import decode_verify, encode_dataset, read_decoded, read_manifest
+from .salted import encode_dataset_by_source
 
 __all__ = [
     "encode_token_chunk",
     "decode_token_chunk",
     "encode_dataset",
+    "encode_dataset_by_source",
     "decode_verify",
+    "read_decoded",
     "read_manifest",
 ]

@@ -91,7 +91,7 @@ def _classify(lengths, mins, maxs, runs) -> np.ndarray:
 
 
 def encode_token_chunk(
-    flat: np.ndarray, lengths: np.ndarray, zstd: bool = True
+    flat: np.ndarray, lengths: np.ndarray, zstd: bool = True, zstd_level: int = 3
 ) -> tuple[bytes, dict]:
     """Encode one chunk → (blob, meta). meta records per-stream codec choices
     for the lineage manifest."""
@@ -101,7 +101,7 @@ def encode_token_chunk(
     starts, mins, maxs, runs = _per_doc_stats(flat, lengths)
     groups = _classify(lengths, mins, maxs, runs)
 
-    post = wrap_zstd if zstd else (lambda b: b)
+    post = (lambda b: wrap_zstd(b, zstd_level)) if zstd else (lambda b: b)
     meta: dict = {"n_docs": n_docs, "n_tokens": int(len(flat)), "streams": {}}
 
     len_blob, len_codec = encode_ints_auto(lengths)
@@ -111,29 +111,49 @@ def encode_token_chunk(
     meta["streams"]["lengths"] = CI.CODEC_NAMES[len_codec]
     meta["streams"]["groups"] = CI.CODEC_NAMES[grp_codec]
 
-    # gather each group's values via a doc-order permutation (vectorized)
-    doc_of_value = np.repeat(np.arange(n_docs, dtype=np.int64), lengths.astype(np.int64))
-    value_group = groups[doc_of_value] if len(flat) else np.zeros(0, np.int32)
+    present = np.unique(groups[lengths > 0]) if n_docs else groups[:0]
+    has_small = GROUP_SMALL in present
+    single_group = len(present) == 1
 
-    # per-doc frame subtraction for SMALL docs
+    # per-doc frame subtraction for SMALL docs (uint32 wraparound — exact)
     refs = np.where(groups == GROUP_SMALL, mins, 0).astype(np.int32)
-    if len(flat):
+    if len(flat) and has_small:
+        doc_of_value = np.repeat(
+            np.arange(n_docs, dtype=np.int32), lengths.astype(np.int64)
+        )
         frame = refs[doc_of_value]
-        shifted = (flat.astype(np.int64) - frame).astype(np.int32)
+        shifted = (flat.view(np.uint32) - frame.view(np.uint32)).view(np.int32)
     else:
+        doc_of_value = None
         shifted = flat
     refs_blob, refs_codec = encode_ints_auto(refs[groups == GROUP_SMALL])
     refs_blob = post(refs_blob)
     meta["streams"]["refs"] = CI.CODEC_NAMES[refs_codec]
 
     value_blobs = []
-    for g in range(N_GROUPS):
-        vals = shifted[value_group == g] if len(flat) else shifted[:0]
-        blob, codec = encode_ints_auto(vals)
-        blob = post(blob)
-        value_blobs.append(blob)
-        meta["streams"][f"values_g{g}"] = CI.CODEC_NAMES[codec]
-        meta[f"n_values_g{g}"] = int(len(vals))
+    if single_group:
+        # homogeneous chunk: skip the per-value group gather entirely
+        g_only = int(present[0])
+        for g in range(N_GROUPS):
+            vals = shifted if g == g_only else shifted[:0]
+            blob, codec = encode_ints_auto(vals)
+            value_blobs.append(post(blob))
+            meta["streams"][f"values_g{g}"] = CI.CODEC_NAMES[codec]
+            meta[f"n_values_g{g}"] = int(len(vals))
+    else:
+        if doc_of_value is None and len(flat):
+            doc_of_value = np.repeat(
+                np.arange(n_docs, dtype=np.int32), lengths.astype(np.int64)
+            )
+        value_group = (
+            groups[doc_of_value] if len(flat) else np.zeros(0, np.int32)
+        )
+        for g in range(N_GROUPS):
+            vals = shifted[value_group == g] if len(flat) else shifted[:0]
+            blob, codec = encode_ints_auto(vals)
+            value_blobs.append(post(blob))
+            meta["streams"][f"values_g{g}"] = CI.CODEC_NAMES[codec]
+            meta[f"n_values_g{g}"] = int(len(vals))
 
     out = (
         bytes([TOK])
@@ -169,16 +189,27 @@ def decode_token_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     value_streams = [decode_ints(unwrap_zstd(child())) for _ in range(n_groups)]
 
     total = int(lengths.astype(np.int64).sum())
-    flat = np.zeros(total, dtype=np.int32)
-    doc_of_value = np.repeat(np.arange(n_docs, dtype=np.int64), lengths.astype(np.int64))
-    value_group = groups[doc_of_value]
+    nonempty = [g for g in range(n_groups) if len(value_streams[g])]
 
-    refs = np.zeros(n_docs, dtype=np.int32)
-    refs[groups == GROUP_SMALL] = refs_small
-    frame = refs[doc_of_value] if total else refs[:0]
+    if len(nonempty) <= 1:
+        flat = (
+            value_streams[nonempty[0]].copy() if nonempty else np.zeros(0, np.int32)
+        )
+    else:
+        doc_of_value = np.repeat(
+            np.arange(n_docs, dtype=np.int32), lengths.astype(np.int64)
+        )
+        value_group = groups[doc_of_value]
+        flat = np.zeros(total, dtype=np.int32)
+        for g in nonempty:
+            flat[value_group == g] = value_streams[g]
 
-    for g in range(n_groups):
-        mask = value_group == g
-        flat[mask] = value_streams[g]
-    flat = (flat.astype(np.int64) + frame).astype(np.int32)
+    if len(refs_small) and np.any(refs_small):
+        refs = np.zeros(n_docs, dtype=np.int32)
+        refs[groups == GROUP_SMALL] = refs_small
+        doc_of_value = np.repeat(
+            np.arange(n_docs, dtype=np.int32), lengths.astype(np.int64)
+        )
+        frame = refs[doc_of_value]
+        flat = (flat.view(np.uint32) + frame.view(np.uint32)).view(np.int32)
     return flat, lengths.astype(np.int32)

@@ -6,13 +6,18 @@ Shape mirrors the reference's chunked streaming + incremental-write design
 
   * the "chunk" is an Arrow batch inside ``mapInPandas`` (vectorized, no
     per-row Python — BASELINE.json input_hint);
-  * the resume unit is the INPUT FILE: each completed file's encoded chunks
-    are committed by an atomic directory rename plus an atomically-renamed
-    manifest JSON (input snapshot, per-stream codecs, checksum, bytes in/out)
-    — the Spark-native form of the reference's per-chunk incremental DB
-    writes with exact resume;
-  * at cluster scale the same commit protocol is an Iceberg snapshot commit;
-    local FS rename stands in for it here.
+  * encoded blobs are written TASK-LOCALLY with pyarrow into a staging dir
+    — they never cross the Arrow boundary back to the JVM (multi-MB binary
+    cells are poison for the JVM parquet writer's dictionary/page machinery,
+    and round-tripping them doubles memory traffic). Tasks yield only tiny
+    per-file metadata rows. This is the standard object-store sink shape:
+    task-local data write + driver-side commit protocol;
+  * the resume unit is the INPUT FILE: the driver commits each completed
+    file by an atomic directory rename plus an atomically-renamed manifest
+    JSON (input snapshot, per-stream codecs, checksum, bytes in/out) — the
+    Spark-native form of the reference's per-chunk incremental DB writes
+    with exact resume. At cluster scale the same protocol is an Iceberg
+    snapshot commit; local FS rename stands in for it here.
 
 Correctness: ``decode_verify`` decodes every partition and asserts
 bit-identical token-array equality against the source via a full outer join
@@ -27,32 +32,61 @@ import json
 import os
 import shutil
 import time
+import uuid
 import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..codecs.strings import decode_strings, encode_strings_auto
-from ..codecs.ints import wrap_zstd, unwrap_zstd
-from ..codecs.strings import STR_CODEC_NAMES
+from ..codecs.ints import unwrap_zstd, wrap_zstd
+from ..codecs.strings import STR_CODEC_NAMES, decode_strings, encode_strings_arrow
 from .chunk import decode_token_chunk, encode_token_chunk
 
-ENC_SCHEMA = T.StructType(
+META_SCHEMA = T.StructType(
     [
         T.StructField("file_stem", T.StringType(), False),
-        T.StructField("chunk_crc", T.LongType(), False),
+        T.StructField("part_path", T.StringType(), False),
+        T.StructField("n_chunks", T.LongType(), False),
         T.StructField("n_docs", T.LongType(), False),
         T.StructField("n_tokens", T.LongType(), False),
         T.StructField("bytes_in", T.LongType(), False),
         T.StructField("bytes_out", T.LongType(), False),
-        T.StructField("doc_id_blob", T.BinaryType(), False),
-        T.StructField("source_blob", T.BinaryType(), False),
-        T.StructField("tokens_blob", T.BinaryType(), False),
-        T.StructField("meta_json", T.StringType(), False),
+        T.StructField("checksum", T.LongType(), False),
+        T.StructField("codecs_json", T.StringType(), False),
+    ]
+)
+
+_META_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("file_stem", pa.string()),
+        pa.field("part_path", pa.string()),
+        pa.field("n_chunks", pa.int64()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("bytes_in", pa.int64()),
+        pa.field("bytes_out", pa.int64()),
+        pa.field("checksum", pa.int64()),
+        pa.field("codecs_json", pa.string()),
+    ]
+)
+
+_ENC_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("chunk_crc", pa.int64()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("bytes_in", pa.int64()),
+        pa.field("bytes_out", pa.int64()),
+        pa.field("doc_id_blob", pa.large_binary()),
+        pa.field("source_blob", pa.large_binary()),
+        pa.field("tokens_blob", pa.large_binary()),
+        pa.field("meta_json", pa.string()),
     ]
 )
 
@@ -70,79 +104,168 @@ def _stem(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def _flatten_tokens(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """pandas Series of np.int32 arrays → (flat, lengths), no per-row Python
-    beyond the zero-copy np.concatenate gather."""
-    arrays = series.to_numpy()
-    lengths = np.fromiter((len(a) for a in arrays), dtype=np.int32, count=len(arrays))
-    flat = (
-        np.concatenate(arrays).astype(np.int32, copy=False)
-        if len(arrays)
-        else np.zeros(0, np.int32)
+def _utf8_payload(arr: "pa.Array") -> bytes:
+    """Concatenated utf-8 bytes of a StringArray, straight from its buffers."""
+    arr = arr.cast(pa.string())
+    buf = arr.buffers()
+    n = len(arr)
+    if n == 0 or buf[2] is None:
+        return b""
+    offsets = np.frombuffer(buf[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    return bytes(memoryview(buf[2])[int(offsets[0]) : int(offsets[-1])])
+
+
+def _utf8_size(arr: "pa.Array") -> int:
+    arr = arr.cast(pa.string())
+    buf = arr.buffers()
+    n = len(arr)
+    if n == 0 or buf[2] is None:
+        return 0
+    offsets = np.frombuffer(buf[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    return int(offsets[-1] - offsets[0])
+
+
+def _encode_chunk_row(part: pa.RecordBatch, zstd: bool, zstd_level: int = 3) -> tuple[dict, dict]:
+    """Encode one Arrow batch → (metadata row dict, codec meta).
+
+    The tokens ListArray flattens ZERO-COPY (values buffer + value_lengths);
+    no per-row numpy arrays are ever materialized — this is the difference
+    between an Arrow-native kernel and a pandas row loop at 100 TB."""
+    tok_col = part.column(part.schema.get_field_index("tokens"))
+    flat = tok_col.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    lengths = tok_col.value_lengths().to_numpy(zero_copy_only=False).astype(
+        np.int32, copy=False
     )
-    return flat, lengths
+    n_tok = part.column(part.schema.get_field_index("n_tok")).to_numpy(
+        zero_copy_only=False
+    )
+    # invariant from input_hint: n_tok == len(tokens); enforced at encode time
+    assert np.array_equal(n_tok.astype(np.int32), lengths), "n_tok invariant violated"
+    tokens_blob, meta = encode_token_chunk(flat, lengths, zstd=zstd, zstd_level=zstd_level)
+    # Arrow-native string encode: no per-row Python strings (object churn
+    # collapses throughput at high task concurrency — see codecs.strings)
+    did_arr = part.column(part.schema.get_field_index("doc_id"))
+    src_arr = part.column(part.schema.get_field_index("source"))
+    did_blob, did_codec = encode_strings_arrow(did_arr, zstd_post=zstd)
+    src_blob, src_codec = encode_strings_arrow(src_arr, zstd_post=zstd)
+    if zstd:
+        did_blob, src_blob = wrap_zstd(did_blob, zstd_level), wrap_zstd(src_blob, zstd_level)
+    meta["streams"]["doc_id"] = STR_CODEC_NAMES[did_codec]
+    meta["streams"]["source"] = STR_CODEC_NAMES[src_codec]
+    did_bytes = _utf8_size(did_arr)
+    src_bytes = _utf8_size(src_arr)
+    bytes_in = int(4 * len(flat) + 4 * len(lengths) + did_bytes + src_bytes)
+    bytes_out = len(tokens_blob) + len(did_blob) + len(src_blob)
+    crc = zlib.crc32(flat.tobytes()) ^ zlib.crc32(_utf8_payload(did_arr))
+    row = {
+        "chunk_crc": crc,
+        "n_docs": len(lengths),
+        "n_tokens": len(flat),
+        "bytes_in": bytes_in,
+        "bytes_out": bytes_out,
+        "doc_id_blob": did_blob,
+        "source_blob": src_blob,
+        "tokens_blob": tokens_blob,
+        "meta_json": json.dumps(meta["streams"], sort_keys=True),
+    }
+    return row, meta
 
 
-def _encode_batches(batches: Iterator[pd.DataFrame], zstd: bool) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        # a batch can straddle input files only at file-split edges; group to
-        # keep the file_stem → chunks mapping exact for per-file commit
-        for fname, part in pdf.groupby("_file", sort=False):
-            flat, lengths = _flatten_tokens(part["tokens"])
-            n_tok = part["n_tok"].to_numpy().astype(np.int32)
-            # invariant from input_hint: n_tok == len(tokens); enforced here
-            assert np.array_equal(n_tok, lengths), "n_tok invariant violated"
-            tokens_blob, meta = encode_token_chunk(flat, lengths, zstd=zstd)
-            doc_ids = part["doc_id"].tolist()
-            sources = part["source"].tolist()
-            did_blob, did_codec = encode_strings_auto(doc_ids)
-            src_blob, src_codec = encode_strings_auto(sources)
-            if zstd:
-                did_blob, src_blob = wrap_zstd(did_blob), wrap_zstd(src_blob)
-            meta["streams"]["doc_id"] = STR_CODEC_NAMES[did_codec]
-            meta["streams"]["source"] = STR_CODEC_NAMES[src_codec]
-            bytes_in = int(
-                4 * len(flat)
-                + 4 * len(lengths)
-                + sum(len(s.encode()) for s in doc_ids)
-                + sum(len(s.encode()) for s in sources)
+def _split_by_file(batch: pa.RecordBatch, key: str = "_file") -> Iterator[tuple[str, pa.RecordBatch]]:
+    """Split a batch at commit-key boundaries (batches straddle keys only at
+    split edges; the common case is a single slice, zero-copy)."""
+    files = batch.column(batch.schema.get_field_index(key))
+    if len(files) == 0:
+        return
+    first, last = files[0].as_py(), files[len(files) - 1].as_py()
+    if first == last:
+        yield first, batch
+        return
+    arr = np.asarray(files.to_pylist(), dtype=object)
+    change = np.flatnonzero(arr[1:] != arr[:-1])
+    starts = np.concatenate(([0], change + 1, [len(arr)]))
+    for i in range(len(starts) - 1):
+        s, e = int(starts[i]), int(starts[i + 1])
+        yield str(arr[s]), batch.slice(s, e - s)
+
+
+def _make_encode_fn(staging_dir: str, zstd: bool, zstd_level: int = 3, key: str = "_file"):
+    stem_of = _stem if key == "_file" else (lambda s: s)
+
+    def encode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        per_file: dict[str, list[dict]] = {}
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            for fname, part in _split_by_file(batch, key):
+                row, _ = _encode_chunk_row(part, zstd, zstd_level)
+                per_file.setdefault(stem_of(str(fname)), []).append(row)
+        out_rows = []
+        for stem, rows in per_file.items():
+            tbl = pa.Table.from_pylist(rows, schema=_ENC_ARROW_SCHEMA)
+            part_dir = os.path.join(staging_dir, f"file_stem={stem}")
+            os.makedirs(part_dir, exist_ok=True)
+            # blobs are already codec/zstd-compressed → plain pages, no dict
+            part_path = os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(
+                tbl, part_path, compression="none", use_dictionary=False
             )
-            bytes_out = len(tokens_blob) + len(did_blob) + len(src_blob)
-            crc = zlib.crc32(flat.tobytes()) ^ zlib.crc32("".join(doc_ids).encode())
-            yield pd.DataFrame(
+            codecs: dict[str, int] = {}
+            for r in rows:
+                for stream, codec in json.loads(r["meta_json"]).items():
+                    codecs[f"{stream}:{codec}"] = codecs.get(f"{stream}:{codec}", 0) + 1
+            checksum = 0
+            for r in rows:
+                checksum ^= r["chunk_crc"]
+            out_rows.append(
                 {
-                    "file_stem": [_stem(fname)],
-                    "chunk_crc": [crc],
-                    "n_docs": [len(lengths)],
-                    "n_tokens": [len(flat)],
-                    "bytes_in": [bytes_in],
-                    "bytes_out": [bytes_out],
-                    "doc_id_blob": [did_blob],
-                    "source_blob": [src_blob],
-                    "tokens_blob": [tokens_blob],
-                    "meta_json": [json.dumps(meta["streams"], sort_keys=True)],
+                    "file_stem": stem,
+                    "part_path": part_path,
+                    "n_chunks": len(rows),
+                    "n_docs": sum(r["n_docs"] for r in rows),
+                    "n_tokens": sum(r["n_tokens"] for r in rows),
+                    "bytes_in": sum(r["bytes_in"] for r in rows),
+                    "bytes_out": sum(r["bytes_out"] for r in rows),
+                    "checksum": checksum,
+                    "codecs_json": json.dumps(codecs, sort_keys=True),
                 }
             )
+        if out_rows:
+            yield pa.RecordBatch.from_pylist(out_rows, schema=_META_ARROW_SCHEMA)
+
+    return encode_batches
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        for _, row in pdf.iterrows():  # ≤ a few chunk rows per batch — not a hot loop
+_DECODED_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        d = batch.to_pylist()  # a few chunk rows per batch — not hot
+        for row in d:
             flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
             doc_ids = decode_strings(unwrap_zstd(bytes(row["doc_id_blob"])))
             sources = decode_strings(unwrap_zstd(bytes(row["source_blob"])))
-            offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
             np.cumsum(lengths, out=offsets[1:])
-            tokens = [flat[offsets[i] : offsets[i + 1]] for i in range(len(lengths))]
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "tokens": tokens,
-                    "n_tok": lengths.astype(np.int32),
-                    "source": sources,
-                }
+            tokens = pa.ListArray.from_arrays(  # zero-copy reassembly
+                pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.string()),
+                    tokens,
+                    pa.array(lengths, type=pa.int32()),
+                    pa.array(sources, type=pa.string()),
+                ],
+                schema=_DECODED_ARROW_SCHEMA,
             )
 
 
@@ -156,6 +279,8 @@ def _manifest_dir(out_dir: str) -> str:
 def read_manifest(out_dir: str) -> dict[str, dict]:
     records = {}
     for p in glob.glob(os.path.join(_manifest_dir(out_dir), "*.json")):
+        if os.path.basename(p).startswith("_"):
+            continue  # job-level summaries, not per-unit records
         with open(p) as f:
             rec = json.load(f)
         records[rec["file_stem"]] = rec
@@ -167,13 +292,10 @@ def _snapshot(path: str) -> dict:
     return {"size": st.st_size, "path": path}
 
 
-def _commit_file(
-    out_dir: str, staging_dir: str, stem: str, record: dict
-) -> None:
+def _commit_file(out_dir: str, staging_dir: str, stem: str, record: dict) -> None:
     """Atomic per-file commit: rename encoded-chunk dir into place, then
     rename the manifest record into place. A crash between the two renames
-    leaves data without manifest → file re-encoded next run (idempotent:
-    target dir is replaced)."""
+    leaves data without manifest → file re-encoded next run (idempotent)."""
     src = os.path.join(staging_dir, f"file_stem={stem}")
     dst = os.path.join(out_dir, "data", f"file_stem={stem}")
     os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -196,6 +318,7 @@ def encode_dataset(
     input_path: str | list[str],
     out_dir: str,
     zstd: bool = True,
+    zstd_level: int = 3,
 ) -> dict:
     """Encode all input parquet files, skipping files already committed with
     a matching input snapshot. Returns job metrics."""
@@ -223,42 +346,46 @@ def encode_dataset(
     if todo:
         if os.path.exists(staging_dir):
             shutil.rmtree(staging_dir)
+        os.makedirs(staging_dir, exist_ok=True)
+        # size input splits to the cluster: Spark's default 128 MB bin-packing
+        # would coalesce many small files into a handful of tasks and leave
+        # most cores idle. Target ≥2 waves of parallelism.
+        total_bytes = sum(os.stat(f).st_size for f in todo)
+        par = spark.sparkContext.defaultParallelism
+        split = max(total_bytes // (2 * par) + 1, 1 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
         df = spark.read.parquet(*todo).withColumn("_file", F.input_file_name())
-        enc = df.mapInPandas(
-            lambda it: _encode_batches(it, zstd), schema=ENC_SCHEMA
-        )
-        # blobs are already codec/zstd-compressed → store pages uncompressed
-        # so encoded size is honest (no double compression credit)
-        (
-            enc.write.option("compression", "uncompressed")
-            .partitionBy("file_stem")
-            .mode("overwrite")
-            .parquet(staging_dir)
-        )
-        # commit per file: aggregate chunk metrics from the staging data
-        agg = (
-            spark.read.parquet(staging_dir)
-            .groupBy("file_stem")
-            .agg(
-                F.count("*").alias("n_chunks"),
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("n_tokens").alias("n_tokens"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("bytes_out").alias("bytes_out"),
-                # order-insensitive combined checksum
-                F.expr("cast(aggregate(collect_list(chunk_crc), 0L, (a, x) -> a ^ x) as long)").alias(
-                    "checksum"
-                ),
-            )
-            .collect()
-        )
-        by_stem = {f"{_stem(f)}": f for f in todo}
-        for row in agg:
-            rec = row.asDict()
-            rec["file_stem"] = str(rec["file_stem"])
-            rec["snapshot"] = _snapshot(by_stem[rec["file_stem"]])
-            rec["committed_at"] = time.time()
-            _commit_file(out_dir, staging_dir, rec["file_stem"], rec)
+        meta_rows = df.mapInArrow(
+            _make_encode_fn(staging_dir, zstd, zstd_level), schema=META_SCHEMA
+        ).collect()
+        # commit per file (a file may yield several part rows if Spark split it)
+        by_stem: dict[str, list] = {}
+        for r in meta_rows:
+            by_stem.setdefault(r["file_stem"], []).append(r)
+        path_of = {_stem(f): f for f in todo}
+        for stem, rows in by_stem.items():
+            codecs: dict[str, int] = {}
+            for r in rows:
+                for k, v in json.loads(r["codecs_json"]).items():
+                    codecs[k] = codecs.get(k, 0) + v
+            checksum = 0
+            for r in rows:
+                checksum ^= r["checksum"]
+            rec = {
+                "file_stem": stem,
+                "n_parts": len(rows),
+                "n_chunks": sum(r["n_chunks"] for r in rows),
+                "n_docs": sum(r["n_docs"] for r in rows),
+                "n_tokens": sum(r["n_tokens"] for r in rows),
+                "bytes_in": sum(r["bytes_in"] for r in rows),
+                "bytes_out": sum(r["bytes_out"] for r in rows),
+                "checksum": checksum,
+                "codecs": codecs,
+                "snapshot": _snapshot(path_of[stem]),
+                "committed_at": time.time(),
+            }
+            _commit_file(out_dir, staging_dir, stem, rec)
         shutil.rmtree(staging_dir, ignore_errors=True)
 
     manifest = read_manifest(out_dir)
@@ -284,7 +411,7 @@ def encode_dataset(
 
 def read_decoded(spark: SparkSession, out_dir: str) -> DataFrame:
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
-    return enc.mapInPandas(_decode_batches, schema=DECODED_SCHEMA)
+    return enc.mapInArrow(_decode_batches, schema=DECODED_SCHEMA)
 
 
 def decode_verify(spark: SparkSession, input_path: str | list[str], out_dir: str) -> dict:
@@ -309,7 +436,10 @@ def decode_verify(spark: SparkSession, input_path: str | list[str], out_dir: str
         .otherwise("mismatch")
         .alias("status")
     )
-    counts = {r["status"]: r["cnt"] for r in status.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    counts = {
+        r["status"]: r["cnt"]
+        for r in status.groupBy("status").agg(F.count("*").alias("cnt")).collect()
+    }
     counts.setdefault("ok", 0)
     counts.setdefault("mismatch", 0)
     counts.setdefault("missing", 0)

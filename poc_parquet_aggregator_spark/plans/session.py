@@ -24,10 +24,12 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Arrow batch size caps pandas-UDF batch memory; 10k rows × ≤4096 int32
-    # tokens ≈ 160 MB worst case per batch — safe at 128 GiB local, and the
-    # right order of magnitude for 4-8 GiB executors at cluster scale.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Arrow batch size: KEEP BATCH BUFFERS UNDER THE G1 HUMONGOUS THRESHOLD.
+    # 10k-row list<int32> batches allocate ~10 MB contiguous JVM buffers,
+    # which G1 treats as humongous objects — at 32 concurrent tasks the
+    # allocation path serializes and throughput collapses ~10× (measured).
+    # 2048 rows ≈ 2 MB buffers: stable 0.65 s vs 6 s for the same transfer.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # Reference merges labels with later-overrides-earlier precedence
     # (utils.py:113-126); Spark's map_concat needs LAST_WIN to match.
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",

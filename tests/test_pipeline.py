@@ -1,0 +1,138 @@
+"""End-to-end encode pipeline tests: bit-identical decode, compressed-size
+bar (≤ Parquet zstd), exact resume under fault injection, salted
+source-partitioned mode. Mirrors the reference's expected-results oracle
+discipline (/root/reference/src/expected_results.py:309-431) at pipeline
+granularity. Run: python -m pytest -x -q
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from poc_parquet_aggregator_spark.encode import (
+    decode_verify,
+    encode_dataset,
+    encode_dataset_by_source,
+    read_manifest,
+)
+from poc_parquet_aggregator_spark.plans import get_spark
+from poc_parquet_aggregator_spark.sources import write_token_table
+
+N_DOCS = 6000
+DOCS_PER_FILE = 2000
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(
+        "pipeline_tests",
+        cores=4,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def token_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tokens")
+    write_token_table(str(d), N_DOCS, docs_per_file=DOCS_PER_FILE)
+    return str(d)
+
+
+def test_encode_decode_bit_identical_and_ratio(spark, token_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    m = encode_dataset(spark, token_dir, out)
+    assert m["files_encoded"] == N_DOCS // DOCS_PER_FILE
+    # north rule bar: compressed bytes ≤ reference Parquet(zstd) bytes
+    assert m["ratio_vs_parquet_zstd"] <= 1.0
+    v = decode_verify(spark, token_dir, out)
+    assert v["bit_identical"], v
+
+
+def test_resume_skips_committed_and_is_deterministic(spark, token_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    m1 = encode_dataset(spark, token_dir, out)
+    manifest1 = read_manifest(out)
+    # full resume: nothing re-encoded
+    m2 = encode_dataset(spark, token_dir, out)
+    assert m2["files_encoded"] == 0
+    assert m2["files_skipped"] == m1["files_total"]
+    # fault injection: lose one manifest record → exactly one file re-encoded
+    stems = sorted(manifest1)
+    os.remove(os.path.join(out, "_manifest", f"{stems[0]}.json"))
+    m3 = encode_dataset(spark, token_dir, out)
+    assert m3["files_encoded"] == 1
+    # determinism: re-encoded record identical (checksum, bytes, codecs)
+    manifest2 = read_manifest(out)
+    a = {k: v for k, v in manifest1[stems[0]].items() if k != "committed_at"}
+    b = {k: v for k, v in manifest2[stems[0]].items() if k != "committed_at"}
+    assert a == b
+    assert decode_verify(spark, token_dir, out)["bit_identical"]
+
+
+def test_stale_staging_cleaned(spark, token_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    staging = os.path.join(out, "_staging", "file_stem=garbage")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "junk.parquet"), "w") as f:
+        f.write("junk")
+    stems = sorted(read_manifest(out))
+    os.remove(os.path.join(out, "_manifest", f"{stems[0]}.json"))
+    encode_dataset(spark, token_dir, out)
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    assert decode_verify(spark, token_dir, out)["bit_identical"]
+
+
+def test_changed_input_re_encodes(spark, token_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    src = str(tmp_path / "src")
+    shutil.copytree(token_dir, src)
+    encode_dataset(spark, src, out)
+    # replace one input file with different content (different size)
+    write_token_table(src, 1000, seed=99, docs_per_file=1000)
+    files = sorted(os.listdir(src))
+    m = encode_dataset(spark, src, out)
+    assert m["files_encoded"] >= 1
+    assert decode_verify(spark, src, out)["bit_identical"]
+
+
+def test_salted_source_mode(spark, token_dir, tmp_path):
+    out = str(tmp_path / "enc_salted")
+    m = encode_dataset_by_source(spark, token_dir, out, n_salts=4)
+    # skew defused: head source is ~60% of tokens; with 4 salts no bucket
+    # should exceed ~1/4 of that plus slack
+    assert m["max_bucket_token_share"] < 0.25
+    assert m["ratio_vs_parquet_zstd"] <= 1.0
+    assert decode_verify(spark, token_dir, out)["bit_identical"]
+    m2 = encode_dataset_by_source(spark, token_dir, out, n_salts=4)
+    assert m2["buckets_skipped"] == m2["buckets_total"]
+
+
+def test_salted_lost_manifest_re_encodes(spark, token_dir, tmp_path):
+    """Regression: a committed bucket whose manifest record is lost must be
+    re-encoded on resume (the job summary defines the bucket universe)."""
+    import glob as g
+
+    out = str(tmp_path / "enc_salted")
+    m0 = encode_dataset_by_source(spark, token_dir, out, n_salts=4)
+    manifests = sorted(
+        p for p in g.glob(out + "/_manifest/*.json") if "_job" not in p
+    )
+    os.remove(manifests[0])
+    m = encode_dataset_by_source(spark, token_dir, out, n_salts=4)
+    assert m["buckets_total"] == m0["buckets_total"]
+    assert m["buckets_skipped"] == m0["buckets_total"] - 1
+    assert decode_verify(spark, token_dir, out)["bit_identical"]
+
+
+def test_manifest_lineage_fields(spark, token_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    rec = next(iter(read_manifest(out).values()))
+    for field in ("snapshot", "checksum", "bytes_in", "bytes_out", "codecs", "n_tokens"):
+        assert field in rec, field
+    assert rec["bytes_out"] < rec["bytes_in"]
+    assert any(k.startswith("values_g") for k in rec["codecs"])
