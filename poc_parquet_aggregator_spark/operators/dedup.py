@@ -132,19 +132,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(_N_HASHES)
     ]
     sigs = sh.groupBy("doc_id").agg(*sig_cols)
-    bands = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        cols = [F.col(f"s{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+    # one band row per (doc, band) via a single explode — a union of N
+    # projections would rescan/reaggregate the signature pipeline N times
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("band_key"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"s{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)],
+                ).alias("band_key"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
@@ -239,18 +243,22 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             ]
         ),
     )
-    pieces = [
-        sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("slot"),
-            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-        )
-        for i in range(4)
-    ]
-    keyed = pieces[0]
-    for p in pieces[1:]:
-        keyed = keyed.unionByName(p)
+    # 4 pigeonhole keys per doc in ONE pass (explode, not a 4-way union that
+    # would run the mapInPandas signature job 4 times — seen in .explain)
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slot"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    keyed = sigs.select("doc_id", "simhash", F.explode(slots).alias("sk")).select(
+        "doc_id", "simhash", F.col("sk.slot").alias("slot"), F.col("sk.key").alias("key")
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,139 @@
+"""Structured Streaming surface.
+
+The reference's "streaming" is chunked batch with incremental writes and an
+auto mode selector (/root/reference/src/streaming_processor.py:94-263,
+/root/reference/src/streaming_selector.py:12-138, SURVEY.md §2.9) — no
+watermarks or event-time state. Spark subsumes it two ways:
+
+* ``encode_stream``: file-source ``readStream`` + ``Trigger.AvailableNow``
+  + ``foreachBatch`` into the SAME per-file encode/commit protocol as the
+  batch job — files that land after a run are encoded by the next run,
+  exactly once, with the checkpoint dir carrying stream progress and the
+  manifest carrying per-file lineage. This is the Spark-native form of the
+  reference's incremental-DB-write mode (aggregator_ocp_aws.py:307-350).
+
+* ``streaming_daily_rollup``: the reference's A1 daily rollup as an
+  event-time windowed streaming aggregation with a watermark — beyond the
+  reference's capabilities (it recomputes days in full), included because
+  any real deployment of this pipeline shape wants late-data handling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..encode.pipeline import encode_dataset
+from ..sources.tokens import token_table_schema
+
+
+def encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    zstd_level: int = 3,
+) -> dict:
+    """Incrementally encode newly-arrived token parquet files.
+
+    foreachBatch receives the micro-batch of NEW files' rows; we recover the
+    file list via input_file_name and run the per-file encode/commit (which
+    is idempotent and snapshot-checked), so stream restarts and manifest
+    recovery compose: the stream checkpoint dedups file discovery, the
+    manifest guarantees per-file exactly-once commits.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(out_dir, "_stream_checkpoint")
+    import pyarrow  # noqa: F401  (imported for schema parity with batch path)
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType()), False),
+            StructField("n_tok", IntegerType(), False),
+            StructField("source", StringType(), False),
+        ]
+    )
+    stats = {"batches": 0, "files": 0}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files = [
+            r["f"]
+            for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+        local = sorted(f.removeprefix("file://") for f in files)
+        if not local:
+            return
+        encode_dataset(spark, local, out_dir, zstd_level=zstd_level)
+        stats["batches"] += 1
+        stats["files"] += len(local)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return stats
+
+
+def streaming_daily_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> "DataFrame":
+    """Event-time windowed rollup over a stream of events rows — the
+    streaming twin of operators.relational.q_a1_daily_rollup (reference
+    aggregator_pod.py:649-739) with late-data handling the reference lacks.
+    Returns the streaming DataFrame (caller starts the query; tests use
+    Trigger.AvailableNow + memory sink)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    events = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("day.start").cast("date").cast("string").alias("usage_date"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "max_value",
+        )
+    )
