@@ -854,3 +854,163 @@ ORACLES = {
     "f12_formatting": ORACLE_F12,
     "star_join_revenue": ORACLE_STAR,
 }
+
+
+# ─────────────── A13: per-key MAX dedup (node-role dedup) ────────────────────
+# Reference: aggregator_unallocated.py:72-91 (Trino 491-498)
+
+
+def q_a13_max_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    roles = ev.groupBy("user_id").agg(F.max("event_type").alias("role"))
+    return roles.groupBy("role").agg(F.count("*").alias("n_users"))
+
+
+ORACLE_A13 = """
+WITH roles AS (SELECT user_id, max(event_type) AS role FROM events GROUP BY user_id)
+SELECT role, count(*) AS n_users FROM roles GROUP BY role
+"""
+
+
+# ────────── J10: union of match paths + first-wins dedup ─────────────────────
+# Reference: cost_attributor.py:306-321 — resource-id matches take priority
+# over tag matches; union, then row_number keep-first by priority.
+
+
+def q_j10_union_dedup_first_wins(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    path_a = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("event_id", "user_id")
+        .withColumn("match_kind", F.lit("resource"))
+        .withColumn("priority", F.lit(1))
+    )
+    path_b = (
+        ev.filter(F.col("value") > 10.0)
+        .select("event_id", "user_id")
+        .withColumn("match_kind", F.lit("tag"))
+        .withColumn("priority", F.lit(2))
+    )
+    both = path_a.unionByName(path_b)
+    w = Window.partitionBy("event_id").orderBy("priority")
+    best = both.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("match_kind").agg(F.count("*").alias("n_matched"))
+
+
+ORACLE_J10 = """
+WITH unioned AS (
+  SELECT event_id, user_id, 'resource' AS match_kind, 1 AS priority
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT event_id, user_id, 'tag', 2 FROM events WHERE value > 10.0),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY priority) AS rn
+  FROM unioned)
+SELECT match_kind, count(*) AS n_matched FROM best WHERE rn = 1 GROUP BY match_kind
+"""
+
+
+# ───────── P10/P11: contains-predicate + null-ness split of one scan ─────────
+# Reference: aggregator_ocp_aws.py:687-709 (EBS contains), network_cost_
+# handler.py:51-93 (split rows by data_transfer_direction null-ness).
+
+
+def q_p11_null_split(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    tagged = o.withColumn(
+        "direction",
+        F.when(F.col("o_orderpriority").contains("HIGH"), "IN")
+        .when(F.col("o_orderpriority").contains("LOW"), "OUT")
+        .otherwise(F.lit(None).cast("string")),
+    )
+    network = tagged.filter(F.col("direction").isNotNull())
+    compute = tagged.filter(F.col("direction").isNull())
+    a = network.groupBy("direction").agg(
+        F.count("*").alias("n"), _isum(F.col("o_totalprice")).alias("sum_price")
+    )
+    b = compute.agg(
+        F.count("*").alias("n"), _isum(F.col("o_totalprice")).alias("sum_price")
+    ).withColumn("direction", F.lit("none"))
+    return a.unionByName(b.select("direction", "n", "sum_price"))
+
+
+ORACLE_P11 = f"""
+WITH tagged AS (
+  SELECT *, CASE WHEN o_orderpriority LIKE '%HIGH%' THEN 'IN'
+                 WHEN o_orderpriority LIKE '%LOW%' THEN 'OUT' END AS direction
+  FROM orders)
+SELECT direction, count(*) AS n, {_duck_isum('o_totalprice')} AS sum_price
+FROM tagged WHERE direction IS NOT NULL GROUP BY direction
+UNION ALL
+SELECT 'none', count(*), {_duck_isum('o_totalprice')}
+FROM tagged WHERE direction IS NULL
+"""
+
+
+# ─────────────── F1: pipe-format label parsing fallback ──────────────────────
+# Reference: utils.py:59-94 — "label_app:web|label_tier:db" → map, prefix
+# stripped. Synthesized from events columns, parsed back via parse_labels.
+
+
+def q_f1_pipe_labels(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    pipe = F.concat(
+        F.lit("label_type:"), F.col("event_type"), F.lit("|label_user:"),
+        F.col("user_id").cast("string"),
+    )
+    parsed = parse_labels(pipe)
+    return (
+        ev.withColumn("type_label", parsed.getItem("type"))
+        .withColumn("user_label", parsed.getItem("user"))
+        .filter(F.col("user_label") == F.col("user_id").cast("string"))
+        .groupBy("type_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_F1 = """
+SELECT event_type AS type_label, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+# ───────── S10: wide columns → single canonical JSON column ──────────────────
+# Reference: aws_data_loader.py:207-288 — resourceTags/user:* consolidated
+# into one JSON column, originals dropped.
+
+
+def q_s10_wide_to_json(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    tags = F.to_json(F.struct(F.col("p_brand").alias("brand"), F.col("p_type").alias("type")))
+    return (
+        p.withColumn("resourcetags", tags)
+        .drop("p_brand", "p_type")
+        .groupBy("resourcetags")
+        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey"))
+    )
+
+
+ORACLE_S10 = """
+SELECT to_json(struct_pack(brand := p_brand, type := p_type)) AS resourcetags,
+       count(*) AS n_parts, min(p_partkey) AS min_partkey
+FROM part GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "a13_max_dedup": q_a13_max_dedup,
+        "j10_union_dedup_first_wins": q_j10_union_dedup_first_wins,
+        "p11_null_split": q_p11_null_split,
+        "f1_pipe_labels": q_f1_pipe_labels,
+        "s10_wide_to_json": q_s10_wide_to_json,
+    }
+)
+ORACLES.update(
+    {
+        "a13_max_dedup": ORACLE_A13,
+        "j10_union_dedup_first_wins": ORACLE_J10,
+        "p11_null_split": ORACLE_P11,
+        "f1_pipe_labels": ORACLE_F1,
+        "s10_wide_to_json": ORACLE_S10,
+    }
+)
