@@ -103,6 +103,15 @@ def run_encode(cores: int, zstd_level: int, verify: bool = False) -> dict:
         res["bit_identical"] = bool(
             decode_verify(spark, data_dir, out_dir)["bit_identical"]
         )
+        # decode throughput: full read-back of the encoded table
+        from poc_parquet_aggregator_spark.encode import read_decoded
+
+        dec = read_decoded(spark, out_dir)
+        dec.count()  # warm
+        t0 = time.time()
+        dec.count()
+        dt = time.time() - t0
+        res["decode_tokens_per_s"] = round(metrics["n_tokens"] / dt)
     stop_spark()
     shutil.rmtree(out_dir, ignore_errors=True)
     return res

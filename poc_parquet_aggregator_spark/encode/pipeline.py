@@ -83,6 +83,11 @@ _ENC_ARROW_SCHEMA = pa.schema(
         pa.field("n_tokens", pa.int64()),
         pa.field("bytes_in", pa.int64()),
         pa.field("bytes_out", pa.int64()),
+        # chunk-level zone map: selective decode skips whole chunks by
+        # doc_id range without touching the blobs (parquet row-group stats
+        # on these columns prune at the scan already)
+        pa.field("doc_id_min", pa.string()),
+        pa.field("doc_id_max", pa.string()),
         pa.field("doc_id_blob", pa.large_binary()),
         pa.field("source_blob", pa.large_binary()),
         pa.field("tokens_blob", pa.large_binary()),
@@ -157,8 +162,13 @@ def _encode_chunk_row(part: pa.RecordBatch, zstd: bool, zstd_level: int = 3) -> 
     bytes_in = int(4 * len(flat) + 4 * len(lengths) + did_bytes + src_bytes)
     bytes_out = len(tokens_blob) + len(did_blob) + len(src_blob)
     crc = zlib.crc32(flat.tobytes()) ^ zlib.crc32(_utf8_payload(did_arr))
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(did_arr).as_py() if len(did_arr) else {"min": "", "max": ""}
     row = {
         "chunk_crc": crc,
+        "doc_id_min": mm["min"],
+        "doc_id_max": mm["max"],
         "n_docs": len(lengths),
         "n_tokens": len(flat),
         "bytes_in": bytes_in,
@@ -409,9 +419,41 @@ def encode_dataset(
     return metrics
 
 
-def read_decoded(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_decoded(
+    spark: SparkSession,
+    out_dir: str,
+    sources: list[str] | None = None,
+    doc_id_range: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Read the encoded table back as (doc_id, tokens, n_tok, source).
+
+    Selective decode — the point of a columnar format at 100 TB:
+      * ``sources``: with by-source layout (encode_dataset_by_source) the
+        `file_stem` partition column starts with the source name, so the
+        filter prunes whole partition directories before any IO;
+      * ``doc_id_range``: chunk zone maps (doc_id_min/max) skip chunks at
+        the parquet scan (row-group stats) — blobs of skipped chunks are
+        never read, let alone decoded. An exact row filter is applied
+        after decode.
+    """
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
-    return enc.mapInArrow(_decode_batches, schema=DECODED_SCHEMA)
+    if sources:
+        cond = None
+        for s in sources:
+            c = F.col("file_stem").startswith(s)
+            cond = c if cond is None else (cond | c)
+        enc = enc.filter(cond)
+    if doc_id_range:
+        lo, hi = doc_id_range
+        enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
+    dec = enc.mapInArrow(_decode_batches, schema=DECODED_SCHEMA)
+    if sources:
+        dec = dec.filter(F.col("source").isin(sources))
+    if doc_id_range:
+        dec = dec.filter(
+            (F.col("doc_id") >= doc_id_range[0]) & (F.col("doc_id") <= doc_id_range[1])
+        )
+    return dec
 
 
 def decode_verify(spark: SparkSession, input_path: str | list[str], out_dir: str) -> dict:

@@ -128,6 +128,27 @@ def test_salted_lost_manifest_re_encodes(spark, token_dir, tmp_path):
     assert decode_verify(spark, token_dir, out)["bit_identical"]
 
 
+def test_selective_decode(spark, token_dir, tmp_path):
+    """Source pruning + doc_id zone-map skipping return exactly the
+    matching rows (compared against a full-decode filter)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc_salted")
+    encode_dataset_by_source(spark, token_dir, out, n_salts=4)
+    full = read_decoded(spark, out)
+
+    by_src = read_decoded(spark, out, sources=["src00"])
+    assert by_src.count() == full.filter(F.col("source") == "src00").count()
+    assert by_src.filter(F.col("source") != "src00").count() == 0
+
+    lo, hi = "doc-000000001000", "doc-000000001099"
+    by_range = read_decoded(spark, out, doc_id_range=(lo, hi))
+    expect = full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    assert by_range.count() == expect.count() == 100
+
+
 def test_manifest_lineage_fields(spark, token_dir, tmp_path):
     out = str(tmp_path / "enc")
     encode_dataset(spark, token_dir, out)
