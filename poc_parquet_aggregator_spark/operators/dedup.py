@@ -25,6 +25,32 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to python workers via addPyFile — covers harnesses
+    that built their SparkSession before this package hit PYTHONPATH (the
+    env-var route in __spark_entry__ only works pre-JVM)."""
+    sid = id(spark.sparkContext)
+    if getattr(ensure_workers_can_import, "_done", None) == sid:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = "/tmp/poc_parquet_aggregator_spark_pyfiles.zip"
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    ensure_workers_can_import._done = sid
+
+
 # ─────────────────────────── exact dedup (hash groupBy) ─────────────────────
 
 
@@ -233,6 +259,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     (split 64 bits into 4 × 16-bit keys; near-dups share ≥1 exact key) —
     bucket join, no cross product. No SQL oracle (bit ops) → rows-only check.
     """
+    ensure_workers_can_import(spark)
     d = _docs(spark, sf)
     sigs = d.mapInPandas(
         _simhash_batch,

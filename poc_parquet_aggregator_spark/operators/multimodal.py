@@ -63,6 +63,9 @@ def q_multimodal_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     the binary column lives in its own parquet column chunk and the decode
     is the only stage that touches it (column pruning keeps it off every
     other operator's wire)."""
+    from .dedup import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     d = spark.read.parquet(f"{sf}/documents.parquet")
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")

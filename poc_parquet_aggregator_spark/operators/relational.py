@@ -587,6 +587,9 @@ HAVING CAST(round(max(l_extendedprice) / (max(l_discount) * 730.0 + 1.0)) AS BIG
 
 
 def q_a11_minmax_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # NTZ→TZ cast below reads the session timezone; pin it so unix_millis
+    # matches DuckDB's epoch_ms under any harness session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf, "events")
     return ev.groupBy("event_type").agg(
         _isum(F.col("value")).alias("sum_value"),

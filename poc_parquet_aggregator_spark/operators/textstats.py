@@ -213,6 +213,9 @@ def _rolling_hash_batches(batches):
 def q_text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint via mapInPandas (no SQL oracle —
     rows-only check)."""
+    from .dedup import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     d = _docs(spark, sf)
     return d.select("doc_id", "text").mapInPandas(
         _rolling_hash_batches,
