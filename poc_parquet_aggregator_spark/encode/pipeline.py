@@ -137,6 +137,11 @@ def _encode_chunk_row(part: pa.RecordBatch, zstd: bool, zstd_level: int = 3) -> 
     no per-row numpy arrays are ever materialized — this is the difference
     between an Arrow-native kernel and a pandas row loop at 100 TB."""
     tok_col = part.column(part.schema.get_field_index("tokens"))
+    if tok_col.null_count:
+        raise ValueError(
+            "tokens column contains NULLs — the sequence-table schema is "
+            "non-null (BASELINE.json input_hint); reject or repair upstream"
+        )
     flat = tok_col.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     lengths = tok_col.value_lengths().to_numpy(zero_copy_only=False).astype(
         np.int32, copy=False
