@@ -314,7 +314,10 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup by cosine ≥ 0.9 over the embedding column. Exact pairwise
+    """Near-dup candidates by cosine ≥ 0.35 over the embedding column (the
+    synthetic embeddings are near-orthogonal random vectors, so a
+    production-style 0.9 threshold returns an empty — hence untested —
+    result; 0.35 ≈ 2.8σ keeps a few hundred verifiable pairs). Exact pairwise
     here (oracle-checkable); the scalable LSH-bucketed variant is
     similarity.q_ann_lsh. Dot products via F.aggregate/zip_with — JVM-side,
     left-to-right sum order matches DuckDB's list_* functions exactly."""
@@ -335,7 +338,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         cos.alias("cosine"),
-    ).filter(F.col("cosine") >= 0.9)
+    ).filter(F.col("cosine") >= 0.35)
 
 
 _DDOT = "list_reduce(list_transform(list_zip({x}, {y}), p -> p[1] * p[2]), (a, b) -> a + b)"
@@ -349,7 +352,7 @@ WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DCOS} AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_DCOS} >= 0.9
+WHERE {_DCOS} >= 0.35
 """
 
 
