@@ -379,6 +379,14 @@ def encode_dataset(
         for r in meta_rows:
             by_stem.setdefault(r["file_stem"], []).append(r)
         path_of = {_stem(f): f for f in todo}
+        # empty input files yield no chunk rows — commit a zero record so
+        # resume doesn't rescan them forever
+        for stem in path_of:
+            if stem not in by_stem:
+                os.makedirs(
+                    os.path.join(staging_dir, f"file_stem={stem}"), exist_ok=True
+                )
+                by_stem[stem] = []
         for stem, rows in by_stem.items():
             codecs: dict[str, int] = {}
             for r in rows:

@@ -128,6 +128,27 @@ def test_salted_lost_manifest_re_encodes(spark, token_dir, tmp_path):
     assert decode_verify(spark, token_dir, out)["bit_identical"]
 
 
+def test_empty_input_file_committed_once(spark, token_dir, tmp_path):
+    """A 0-row input file gets a zero manifest record so resume skips it
+    instead of rescanning forever."""
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.sources import token_table_schema
+
+    src = str(tmp_path / "src")
+    shutil.copytree(token_dir, src)
+    pq.write_table(
+        token_table_schema().empty_table(), f"{src}/tokens-empty.parquet",
+        compression="zstd",
+    )
+    out = str(tmp_path / "enc")
+    m1 = encode_dataset(spark, src, out)
+    assert m1["files_encoded"] == m1["files_total"]
+    m2 = encode_dataset(spark, src, out)
+    assert m2["files_encoded"] == 0
+    assert decode_verify(spark, src, out)["bit_identical"]
+
+
 def test_selective_decode(spark, token_dir, tmp_path):
     """Source pruning + doc_id zone-map skipping return exactly the
     matching rows (compared against a full-decode filter)."""
