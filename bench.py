@@ -15,6 +15,7 @@ Parts:
         criterion from BASELINE.md. Median of 3 runs after a warm run
         (first run pays python-worker spawn + JIT).
       * fast mode (zstd 3) at local[$SPARK_GRAFT_CPUS] for peak throughput.
+      * max-ratio mode (zstd 19) at local[8] — best-compression point.
     This host has ~15 GB/s total memory bandwidth saturating at ~8 procs
     (see BENCH/BASELINE.md) — scaling is evidenced where the job is
     CPU-bound, not bandwidth-capped.
@@ -130,6 +131,8 @@ def main() -> None:
     eff = enc_4n["tokens_per_s"] / (4.0 * enc_n["tokens_per_s"])
     # peak throughput, fast mode, all cores
     enc_fast = run_encode(cpus, zstd_level=3)
+    # max-ratio mode: zstd 19 — the best-compression operating point
+    enc_max = run_encode(8, zstd_level=19)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -145,6 +148,7 @@ def main() -> None:
                     "scaling_4N_cores8": enc_4n,
                     "scaling_efficiency": round(eff, 3),
                     "fast_mode_full_cores": enc_fast,
+                    "max_ratio_mode_cores8": enc_max,
                 },
             }
         )

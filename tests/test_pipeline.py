@@ -178,3 +178,30 @@ def test_manifest_lineage_fields(spark, token_dir, tmp_path):
         assert field in rec, field
     assert rec["bytes_out"] < rec["bytes_in"]
     assert any(k.startswith("values_g") for k in rec["codecs"])
+
+
+def test_sequence_table_adapter(spark, token_dir):
+    """One read entry point for both worlds: path → parquet; table ident →
+    session catalog (Iceberg on a cluster), with clear failures where the
+    runtime is absent instead of opaque catalog errors."""
+    import pytest as _pytest
+
+    from poc_parquet_aggregator_spark.sources import (
+        has_iceberg,
+        iceberg_input_files,
+        read_sequence_table,
+    )
+
+    df = read_sequence_table(spark, token_dir)
+    assert df.count() == N_DOCS
+    assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+
+    with _pytest.raises(ValueError):
+        read_sequence_table(spark, token_dir, snapshot_id=123)
+    with _pytest.raises(ValueError):
+        iceberg_input_files(spark, token_dir)
+    if not has_iceberg(spark):  # sandbox: no iceberg-spark-runtime JAR
+        with _pytest.raises(RuntimeError):
+            iceberg_input_files(spark, "cat.db.tokens")
+        with _pytest.raises(RuntimeError):
+            read_sequence_table(spark, "cat.db.tokens", snapshot_id=1)
