@@ -34,6 +34,14 @@ ADVERSARIAL = {
     "int32_boundary": np.array([2**31 - 1, -(2**31)], np.int32),
     "alternating": np.tile([0, 1], 5000).astype(np.int32),
     "zipf": (np.random.default_rng(0).zipf(1.3, 50000) % 50257).astype(np.int32),
+    # width-16 layout boundary: sorted keeps byte planes, uniform/zipf pick
+    # the hi-grouped lo plane — both must roundtrip and size-estimate exactly
+    "zipf_sorted": np.sort(
+        (np.random.default_rng(1).zipf(1.3, 20000) % 50257).astype(np.int32)
+    ),
+    "wide16_uniform": np.random.default_rng(2)
+    .integers(0, 65536, 20000)
+    .astype(np.int32),
 }
 
 
