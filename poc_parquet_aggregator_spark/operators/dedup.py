@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spread import spread
+
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    return spread(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -321,7 +323,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     here (oracle-checkable); the scalable LSH-bucketed variant is
     similarity.q_ann_lsh. Dot products via F.aggregate/zip_with — JVM-side,
     left-to-right sum order matches DuckDB's list_* functions exactly."""
-    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e2 = e.select("vec_id", v.alias("v"))
     dot = lambda x, y: F.aggregate(  # noqa: E731

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spread import spread
+
 DECODED_META = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -66,7 +68,7 @@ def q_multimodal_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     from .dedup import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
@@ -87,7 +89,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing: explode a deterministic frame index list per
     payload (every 5th frame) — the shape of video-frame extraction with the
     decode stubbed."""
-    d = spark.read.parquet(f"{sf}/documents.parquet")
+    d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
     n_frames = F.octet_length(F.encode(F.col("text"), "utf-8")) / F.lit(1000)
     frames = F.sequence(F.lit(0), n_frames.cast("long"), F.lit(1))
     sampled = F.filter(frames, lambda i: i % 5 == 0)

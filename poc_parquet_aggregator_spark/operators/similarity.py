@@ -14,13 +14,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .spread import spread
+
 _K = 10
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _N_CENTROIDS = 8  # vec_id < 8 double as IVF centroids (deterministic)
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select("vec_id", v.alias("v"))
 

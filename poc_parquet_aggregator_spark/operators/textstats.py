@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spread import spread
+
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
     "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "las"],
@@ -21,7 +23,7 @@ _STOPWORDS = {
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    return spread(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
 def _words(col: str = "text"):
