@@ -8,6 +8,7 @@ Commands:
   verify  --input DIR --out DIR [--cores N]
   stream  --input DIR --out DIR           (AvailableNow incremental encode)
   manifest --out DIR                       (lineage summary)
+  compact --out DIR                        (fold manifest JSONs into JSONL segment)
 """
 
 from __future__ import annotations
@@ -62,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("manifest")
     m.add_argument("--out", required=True)
 
+    c = sub.add_parser("compact")
+    c.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -71,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
             args.out, args.docs, seed=args.seed, docs_per_file=args.docs_per_file
         )
         print(json.dumps({"files": len(paths), "out": args.out}))
+        return 0
+
+    if args.cmd == "compact":
+        from .encode import compact_manifest
+
+        print(json.dumps(compact_manifest(args.out)))
         return 0
 
     if args.cmd == "manifest":

@@ -1,5 +1,11 @@
 from .chunk import decode_token_chunk, encode_token_chunk
-from .pipeline import decode_verify, encode_dataset, read_decoded, read_manifest
+from .pipeline import (
+    compact_manifest,
+    decode_verify,
+    encode_dataset,
+    read_decoded,
+    read_manifest,
+)
 from .salted import encode_dataset_by_source
 
 __all__ = [
@@ -10,4 +16,5 @@ __all__ = [
     "decode_verify",
     "read_decoded",
     "read_manifest",
+    "compact_manifest",
 ]

@@ -292,7 +292,14 @@ def _manifest_dir(out_dir: str) -> str:
 
 
 def read_manifest(out_dir: str) -> dict[str, dict]:
+    """Committed records: compacted JSONL segments first (ascending), then
+    loose per-file JSONs (newer, override by stem)."""
     records = {}
+    for p in sorted(glob.glob(os.path.join(_manifest_dir(out_dir), "_compacted-*.jsonl"))):
+        with open(p) as f:
+            for line in f:
+                rec = json.loads(line)
+                records[rec["file_stem"]] = rec
     for p in glob.glob(os.path.join(_manifest_dir(out_dir), "*.json")):
         if os.path.basename(p).startswith("_"):
             continue  # job-level summaries, not per-unit records
@@ -300,6 +307,48 @@ def read_manifest(out_dir: str) -> dict[str, dict]:
             rec = json.load(f)
         records[rec["file_stem"]] = rec
     return records
+
+
+def compact_manifest(out_dir: str) -> dict:
+    """Fold loose per-file manifest JSONs into one JSONL segment.
+
+    The per-file JSON stays the atomic COMMIT unit (its rename is the
+    transaction); compaction is a maintenance pass so that resume's listing
+    cost is O(segments + files since last compaction), not O(every file
+    ever encoded) — at the 10^12-sequence target (~40M input files) an
+    uncompacted listing would dominate job startup. Iceberg analog: the
+    manifest-list absorbing per-snapshot data-file manifests.
+
+    Crash-safe: the merged segment is renamed into place before absorbed
+    loose JSONs / older segments are unlinked; a crash in between only
+    leaves redundant records whose merge (loose overrides segment, later
+    segment overrides earlier) is idempotent.
+    """
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    old_segments = sorted(glob.glob(os.path.join(mdir, "_compacted-*.jsonl")))
+    loose = [
+        p
+        for p in glob.glob(os.path.join(mdir, "*.json"))
+        if not os.path.basename(p).startswith("_")
+    ]
+    records = read_manifest(out_dir)
+    if not loose and len(old_segments) <= 1:
+        return {"records": len(records), "absorbed": 0, "segments": len(old_segments)}
+    next_idx = (
+        int(os.path.basename(old_segments[-1]).split("-")[1].split(".")[0]) + 1
+        if old_segments
+        else 0
+    )
+    seg = os.path.join(mdir, f"_compacted-{next_idx:06d}.jsonl")
+    tmp = seg + ".tmp"
+    with open(tmp, "w") as f:
+        for stem in sorted(records):
+            f.write(json.dumps(records[stem], sort_keys=True) + "\n")
+    os.rename(tmp, seg)
+    for p in loose + old_segments:
+        os.unlink(p)
+    return {"records": len(records), "absorbed": len(loose), "segments": 1}
 
 
 def _snapshot(path: str) -> dict:

@@ -205,3 +205,44 @@ def test_sequence_table_adapter(spark, token_dir):
             iceberg_input_files(spark, "cat.db.tokens")
         with _pytest.raises(RuntimeError):
             read_sequence_table(spark, "cat.db.tokens", snapshot_id=1)
+
+
+def test_manifest_compaction(spark, token_dir, tmp_path):
+    """Compaction folds loose per-file JSONs into a JSONL segment; resume
+    semantics (skip committed, re-encode on snapshot mismatch) are
+    unchanged, and compaction is idempotent."""
+    import glob as _glob
+    import os as _os
+
+    from poc_parquet_aggregator_spark.encode import compact_manifest
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    before = read_manifest(out)
+    n_loose = len(_glob.glob(_os.path.join(out, "_manifest", "*.json")))
+    assert n_loose >= len(before)
+
+    stats = compact_manifest(out)
+    assert stats["absorbed"] == len(before)
+    assert read_manifest(out) == before
+    assert not [
+        p
+        for p in _glob.glob(_os.path.join(out, "_manifest", "*.json"))
+        if not _os.path.basename(p).startswith("_")
+    ]
+
+    # resume after compaction: everything skipped
+    m = encode_dataset(spark, token_dir, out)
+    assert m["files_encoded"] == 0 and m["files_skipped"] == m["files_total"]
+
+    # new commits land as loose JSONs and override the segment on read
+    files = sorted(_glob.glob(_os.path.join(token_dir, "*.parquet")))
+    stem = _os.path.basename(files[0]).rsplit(".", 1)[0]
+    seg = _glob.glob(_os.path.join(out, "_manifest", "_compacted-*.jsonl"))
+    assert len(seg) == 1
+
+    # second compaction with nothing loose is a no-op
+    stats2 = compact_manifest(out)
+    assert stats2["absorbed"] == 0
+    assert read_manifest(out) == before
+    assert stem in before
