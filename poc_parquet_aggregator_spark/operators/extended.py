@@ -197,9 +197,9 @@ def q_a17_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_A17 = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS usage_date,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY 1
 """
 

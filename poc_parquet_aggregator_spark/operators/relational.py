@@ -723,9 +723,9 @@ def q_f7_string_predicates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ORACLE_F7 = """
-SELECT sum(CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END) AS n_eco,
-       sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_widget,
-       sum(CASE WHEN p_brand LIKE '%3' THEN 1 ELSE 0 END) AS n_brand3
+SELECT CAST(sum(CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_eco,
+       CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widget,
+       CAST(sum(CASE WHEN p_brand LIKE '%3' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand3
 FROM part
 """
 
