@@ -3,24 +3,35 @@
 Training-data-pipeline extensions beyond the reference's inventory:
 exact-hash dedup, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
 near-dup. All portable math (md5-based hashing, left-to-right array sums)
-so the DuckDB oracles compute identical values; SimHash needs bit ops that
-don't map cleanly to ANSI SQL → no oracle (driver records rows-only).
+so the DuckDB oracles compute identical values — including SimHash, whose
+per-token 60-bit hash is the first 15 hex digits of md5 (bit ops on BIGINT
+exist in both engines), so every operator here is fully oracle-paired.
 
 Scale notes (100 TB): every operator here is shuffle-on-key (shingle /
 band / bucket), never a cross join; candidate verification happens only
-within buckets, which is the LSH contract. The only broadcast is the tiny
-hash-seed dimension.
+within buckets, which is the LSH contract. Two explicit skew guards bound
+worst-case candidate counts on pathological corpora:
+  * a document-frequency cap drops shingles shared by more than
+    ``_MAX_SHINGLE_DF`` docs before any shingle self-join (a stopword
+    shingle shared by k docs would otherwise emit k^2 candidate pairs);
+  * an LSH/pigeonhole bucket-size cap drops degenerate buckets larger than
+    ``_MAX_BUCKET`` docs before the bucket self-join.
+Both caps are mirrored in the DuckDB oracles, so the gate checks the capped
+semantics end to end. The only broadcast is the tiny hash-seed dimension.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .spread import spread
+
+_MAX_SHINGLE_DF = 256  # doc-frequency cap: shingles in more docs are dropped
+_MAX_BUCKET = 1024  # LSH band / pigeonhole buckets larger than this are dropped
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -90,13 +101,51 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def _capped_shingles(d: DataFrame) -> DataFrame:
+    """Shingles restricted to those appearing in ≤ _MAX_SHINGLE_DF docs.
+    The df rollup and the downstream self-join shuffle on the same key
+    (shingle), so the extra aggregation reuses the exchange. This is the
+    skew guard: a corpus where one shingle appears in k docs would emit
+    O(k^2) candidate pairs without it."""
+    sh = _shingles(d)
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle").select("doc_id", "shingle")
+
+
+# shared oracle CTE: distinct 3-gram shingles per doc, hot shingles dropped
+_DUCK_SHINGLES = f"""
+words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, g AS shingle
+  FROM words,
+       LATERAL (SELECT unnest(list_transform(
+                  range(1, greatest(len(w) - 3, 0) + 2),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g)),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh_all GROUP BY 1 HAVING count(*) > {_MAX_SHINGLE_DF}))
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets: |A∩B| via shingle self-join
     (shuffle on shingle — the inverted-index plan), sizes joined in, pairs
     with J ≥ 0.5. The shingle join is the scalable core: no doc×doc cross
-    product ever materializes."""
+    product ever materializes, and the df cap bounds per-shingle fan-out.
+    The ratio is emitted as a raw double — both engines compute the same
+    IEEE division of exact small integers, whereas a fractional round()
+    diverges (Spark rounds the shortest decimal repr, DuckDB the binary
+    value)."""
     d = _docs(spark, sf)
-    sh = _shingles(d).cache()
+    sh = _capped_shingles(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -111,33 +160,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-ORACLE_NGRAM_JACCARD = """
-WITH words AS (
-  SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, g AS shingle
-  FROM words,
-       LATERAL (SELECT unnest(list_transform(
-                  range(1, greatest(len(w) - 3, 0) + 2),
-                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g)),
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_DUCK_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
@@ -150,11 +191,13 @@ _BAND_SIZE = 2  # 4 bands of 2 → candidates sharing any band
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (min over md5(seed||shingle) — portable string-min
     MinHash), banded LSH bucketing, candidate pairs from same-band buckets,
-    verified with exact Jaccard. Shuffles: shingle→doc agg, band bucket join.
-    This is the 100 TB path: doc×doc never materializes; bucket sizes bound
-    the join."""
+    then verified with exact Jaccard over the capped shingle sets (only
+    pairs with true J ≥ 0.5 survive). Shuffles: shingle→doc agg, band bucket
+    join, candidate∩shingle verify join. This is the 100 TB path: doc×doc
+    never materializes; the df cap and the band-bucket size cap bound every
+    join's fan-out."""
     d = _docs(spark, sf)
-    sh = _shingles(d)
+    sh = _capped_shingles(d).cache()
     sig_cols = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
         for i in range(_N_HASHES)
@@ -177,6 +220,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     banded = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    # bucket-size guard: degenerate buckets (many docs sharing one band key)
+    # would blow up the self-join quadratically; drop them — their members
+    # are still reachable through their other bands
+    ok = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_bucket"))
+        .filter(F.col("n_bucket") <= _MAX_BUCKET)
+        .select("band", "band_key")
+    )
+    banded = banded.join(ok, ["band", "band_key"])
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
@@ -189,19 +242,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return cand
+    # exact-Jaccard verification of candidates only (never all pairs):
+    # intersect each candidate pair's shingle sets via two key joins
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
-ORACLE_MINHASH_LSH = """
-WITH words AS (
-  SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, g AS shingle
-  FROM words,
-       LATERAL (SELECT unnest(list_transform(
-                  range(1, greatest(len(w) - 3, 0) + 2),
-                  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g)),
+ORACLE_MINHASH_LSH = f"""
+WITH {_DUCK_SHINGLES},
 sigs AS (
   SELECT doc_id,
          min(md5('0|' || shingle)) AS s0, min(md5('1|' || shingle)) AS s1,
@@ -209,85 +274,103 @@ sigs AS (
          min(md5('4|' || shingle)) AS s4, min(md5('5|' || shingle)) AS s5,
          min(md5('6|' || shingle)) AS s6, min(md5('7|' || shingle)) AS s7
   FROM sh GROUP BY doc_id),
-banded AS (
+banded_all AS (
   SELECT doc_id, 0 AS band, s0 || '|' || s1 AS band_key FROM sigs UNION ALL
   SELECT doc_id, 1, s2 || '|' || s3 FROM sigs UNION ALL
   SELECT doc_id, 2, s4 || '|' || s5 FROM sigs UNION ALL
-  SELECT doc_id, 3, s6 || '|' || s7 FROM sigs)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  SELECT doc_id, 3, s6 || '|' || s7 FROM sigs),
+banded AS (
+  SELECT * FROM banded_all
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= {_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
 # ──────────────────────────────── SimHash ───────────────────────────────────
+#
+# 60-bit SimHash entirely in JVM expressions — no Python anywhere. The
+# per-token hash is the first 15 hex digits of md5 (60 bits, fits a signed
+# BIGINT in both engines), bit-majority votes are 60 codegen'd
+# sum((h >> b) & 1) aggregates with map-side partial aggregation, and the
+# signature is a row-wise sum of (1 << b) terms. The md5-substring hash is
+# what makes the operator DuckDB-expressible → full value oracle (the old
+# pandas-UDF FNV kernel was per-row Python AND unverifiable).
+
+_SIMHASH_BITS = 60
+_SIM_SLOTS = 4  # pigeonhole: 4 × 15-bit keys; hamming ≤ 3 ⇒ ≥ 1 exact key
+_SLOT_BITS = _SIMHASH_BITS // _SIM_SLOTS
 
 
-_SIMHASH_BITS = 64
-
-
-def _simhash_batch(batches):
-    """64-bit SimHash per doc over word tokens, vectorized per Arrow batch
-    (tokens hashed with a splitmix64-style mix; bit-majority voting via a
-    numpy histogram — no per-row Python beyond the tokenize split)."""
-    for pdf in batches:
-        out_rows = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = np.array(
-                [hash_str(w) for w in str(text).lower().split()], dtype=np.uint64
-            )
-            if len(toks) == 0:
-                out_rows.append((doc_id, 0))
-                continue
-            bits = (toks[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 > len(toks)
-            sim = int(np.packbits(votes[::-1]).view(">u8")[0])
-            out_rows.append((doc_id, sim - (1 << 63)))  # store as signed i64
-        yield pd.DataFrame(out_rows, columns=["doc_id", "simhash"])
-
-
-def hash_str(w: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a) — stable across workers,
-    unlike Python's builtin hash."""
-    h = 0xCBF29CE484222325
-    for ch in w.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via explode-tokens → 60 vote sums → majority bits."""
+    words = F.split(F.lower(F.regexp_replace("text", r"\s+", " ")), " ")
+    toks = d.select("doc_id", F.explode(words).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    aggs = [F.count("*").alias("n_tok")] + [
+        F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"v{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*aggs)
+    sim = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v{b}") * 2 > F.col("n_tok"), F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(_SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: signature via mapInPandas (Arrow batches), then
-    pairs within Hamming distance ≤ 3 found by the 4-table pigeonhole trick
-    (split 64 bits into 4 × 16-bit keys; near-dups share ≥1 exact key) —
-    bucket join, no cross product. No SQL oracle (bit ops) → rows-only check.
-    """
-    ensure_workers_can_import(spark)
+    """SimHash near-dup: 60-bit signatures (pure JVM, see
+    _simhash_signatures), then pairs within Hamming distance ≤ 3 found by
+    the 4-table pigeonhole trick (split 60 bits into 4 × 15-bit keys;
+    near-dups share ≥ 1 exact key) — bucket join with a bucket-size cap, no
+    cross product. Fully oracle-paired (md5-based hash + BIGINT bit ops
+    exist in DuckDB)."""
     d = _docs(spark, sf)
-    sigs = d.mapInPandas(
-        _simhash_batch,
-        schema=T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("simhash", T.LongType()),
-            ]
-        ),
-    )
+    sigs = _simhash_signatures(d)
     # 4 pigeonhole keys per doc in ONE pass (explode, not a 4-way union that
-    # would run the mapInPandas signature job 4 times — seen in .explain)
+    # would recompute the signature aggregation 4 times — seen in .explain)
     slots = F.array(
         *[
             F.struct(
                 F.lit(i).alias("slot"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), i * _SLOT_BITS)
+                .bitwiseAND(F.lit((1 << _SLOT_BITS) - 1))
                 .alias("key"),
             )
-            for i in range(4)
+            for i in range(_SIM_SLOTS)
         ]
     )
     keyed = sigs.select("doc_id", "simhash", F.explode(slots).alias("sk")).select(
         "doc_id", "simhash", F.col("sk.slot").alias("slot"), F.col("sk.key").alias("key")
     )
+    ok = (
+        keyed.groupBy("slot", "key")
+        .agg(F.count("*").alias("n_bucket"))
+        .filter(F.col("n_bucket") <= _MAX_BUCKET)
+        .select("slot", "key")
+    )
+    keyed = keyed.join(ok, ["slot", "key"])
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(
@@ -304,12 +387,50 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_DUCK_VOTES = ",\n         ".join(
+    f"CAST(sum((h >> {b}) & 1) AS BIGINT) AS v{b}" for b in range(_SIMHASH_BITS)
+)
+_DUCK_SIM = " + ".join(
+    f"(CASE WHEN 2 * v{b} > n_tok THEN (CAST(1 AS BIGINT) << {b}) "
+    f"ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SIMHASH_BITS)
+)
+
+ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM toks),
+votes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         {_DUCK_VOTES}
+  FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, {_DUCK_SIM} AS simhash FROM votes),
+keyed_all AS (
+  SELECT doc_id, simhash, s.slot,
+         (simhash >> (s.slot * {_SLOT_BITS})) & {(1 << _SLOT_BITS) - 1} AS key
+  FROM sigs, (VALUES (0), (1), (2), (3)) s(slot)),
+keyed AS (
+  SELECT * FROM keyed_all
+  QUALIFY count(*) OVER (PARTITION BY slot, key) <= {_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM keyed a JOIN keyed b
+    ON a.slot = b.slot AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
 
 
 # ───────────────────── embedding-cosine near-dup ────────────────────────────
@@ -319,10 +440,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup candidates by cosine ≥ 0.35 over the embedding column (the
     synthetic embeddings are near-orthogonal random vectors, so a
     production-style 0.9 threshold returns an empty — hence untested —
-    result; 0.35 ≈ 2.8σ keeps a few hundred verifiable pairs). Exact pairwise
-    here (oracle-checkable); the scalable LSH-bucketed variant is
-    similarity.q_ann_lsh. Dot products via F.aggregate/zip_with — JVM-side,
-    left-to-right sum order matches DuckDB's list_* functions exactly."""
+    result; 0.35 ≈ 2.8σ keeps a few hundred verifiable pairs). This exact
+    all-pairs form is the sf-scale ORACLE BASELINE only; the bucketed path
+    that survives 100 TB is similarity.q_ann_ivf (centroid-partitioned,
+    join key = centroid id). Dot products via F.aggregate/zip_with —
+    JVM-side, left-to-right sum order matches DuckDB's list_* functions
+    exactly."""
     e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e2 = e.select("vec_id", v.alias("v"))
@@ -370,6 +493,6 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
-    # dedup_simhash: bit-level ops → no portable SQL oracle (rows-only)
 }

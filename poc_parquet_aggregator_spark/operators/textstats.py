@@ -1,16 +1,13 @@
 """Text analysis over the documents table: language-ID, quality scoring,
 token counting, fingerprinting. All JVM-side column expressions (the
-lambda-array functions are codegen'd) — portable math so DuckDB oracles
-reproduce values exactly. The true rolling-hash fingerprint also ships as
-a vectorized pandas-UDF variant (rows-only check) in q_text_rolling_hash."""
+lambda-array functions are codegen'd) — portable math so every operator,
+including the winnowing rolling-hash fingerprint, carries a full DuckDB
+value oracle."""
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .spread import spread
 
@@ -181,53 +178,36 @@ FROM documents
 """
 
 
-def _rolling_hash_batches(batches):
-    """True polynomial rolling hash (base 257 mod 2^61-1), vectorized with
-    numpy over each doc's bytes — the per-window minimum is a winnowing-style
-    robust fingerprint."""
-    MOD = (1 << 61) - 1
-    BASE = 257
-    WIN = 16
-    for pdf in batches:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            b = np.frombuffer(str(text).lower().encode("utf-8"), dtype=np.uint8)
-            if len(b) < WIN:
-                out.append((doc_id, int(b.astype(np.int64).sum() % MOD)))
-                continue
-            # hash of each WIN-byte window via prefix hashes (object dtype for
-            # exact big-int modular math, vectorized by numpy broadcasting)
-            powers = pow(BASE, WIN, MOD)
-            h = 0
-            prefix = np.empty(len(b) + 1, dtype=object)
-            prefix[0] = 0
-            for i, ch in enumerate(b):  # O(n) per doc, numpy-int math
-                h = (h * BASE + int(ch)) % MOD
-                prefix[i + 1] = h
-            win_hashes = [
-                int((prefix[i + WIN] - prefix[i] * powers) % MOD)
-                for i in range(len(b) - WIN + 1)
-            ]
-            out.append((doc_id, min(win_hashes)))
-        yield pd.DataFrame(out, columns=["doc_id", "rolling_fp"])
+_FP_WIN = 16  # sliding-window width (chars) for the winnowing fingerprint
 
 
 def q_text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprint via mapInPandas (no SQL oracle —
-    rows-only check)."""
-    from .dedup import ensure_workers_can_import
-
-    ensure_workers_can_import(spark)
+    """Winnowing-style sliding-window fingerprint, entirely in JVM
+    expressions: every 16-char window of the lowercased text is hashed to
+    60 bits (first 15 hex digits of its md5 — portable across engines) and
+    the doc fingerprint is the minimum over windows, i.e. a 1-of-n winnow.
+    A higher-order transform over sequence(1, len-15) stays inside
+    whole-stage codegen; docs shorter than one window hash as a single
+    whole-text window. Replaces a per-byte-Python polynomial kernel — the
+    md5-per-window form is both faster (no Python workers at all) and
+    DuckDB-expressible, so it carries a full value oracle."""
     d = _docs(spark, sf)
-    return d.select("doc_id", "text").mapInPandas(
-        _rolling_hash_batches,
-        schema=T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("rolling_fp", T.LongType()),
-            ]
-        ),
+    d2 = d.select("doc_id", F.lower("text").alias("norm"))
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(length(norm) - {_FP_WIN - 1}, 1)), "
+        f"i -> cast(conv(substr(md5(substring(norm, i, {_FP_WIN})), 1, 15), 16, 10) as bigint)))"
     )
+    return d2.select("doc_id", fp.alias("rolling_fp"))
+
+
+ORACLE_ROLLING_HASH = f"""
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(length(lower(text)) - {_FP_WIN - 1}, 1) + 1),
+         i -> CAST(('0x' || substr(md5(substr(lower(text), CAST(i AS INTEGER), {_FP_WIN})), 1, 15))
+                   AS BIGINT))) AS rolling_fp
+FROM documents
+"""
 
 
 QUERIES = {
@@ -243,5 +223,5 @@ ORACLES = {
     "text_quality": ORACLE_QUALITY,
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_fingerprint": ORACLE_FINGERPRINT,
-    # text_rolling_hash: pandas-UDF big-int math → rows-only
+    "text_rolling_hash": ORACLE_ROLLING_HASH,
 }
