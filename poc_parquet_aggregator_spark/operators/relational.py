@@ -1017,3 +1017,310 @@ ORACLES.update(
         "s10_wide_to_json": ORACLE_S10,
     }
 )
+
+
+# ═══════════ J12: full tag-matcher priority cascade (one query) ══════════════
+# Reference: tag_matcher.py:261-499 — parse resourcetags, filter to enabled
+# keys, then a six-stage priority cascade for rows NOT already matched by
+# resource id (J11/J13): openshift_cluster vs cluster ids (1) / cluster
+# aliases (2), openshift_node vs node names (3), openshift_project vs
+# namespaces (4), then generic k=v membership in the pod-label set (5) and
+# volume-label set (6); first match wins, in tag insertion order within the
+# generic stages (here: lexicographic key order, which coincides).
+#
+# Distributed form: explode the tags map once, semi-filter by the enabled-key
+# dim (broadcast — reference reads it from PostgreSQL, db_writer.py:80-165),
+# then six equality joins against the DISTINCT label-set relations and one
+# first-wins window. At 100 TB the label sets are themselves large tables →
+# these are shuffle hash joins on value; nothing here is per-row Python and
+# no stage rescans the cascade (the parsed-tags frame is cached once).
+
+_J12_SPECIAL = ("openshift_cluster", "openshift_node", "openshift_project")
+_J12_ENABLED = [*_J12_SPECIAL, "app", "env"]  # cost-center is NOT enabled
+
+
+def q_j12_tag_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    pk, psz = F.col("p_partkey"), F.col("p_size")
+    # deterministic synthetic resourcetags map; conditional keys via
+    # map_filter, mirroring sparse AWS tags (the cost-center tag exists on
+    # every row but is filtered out by the enabled-keys dim below)
+    tag_map = F.map_filter(
+        F.create_map(
+            F.lit("openshift_cluster"),
+            F.when(pk % 7 == 0, F.concat(F.lit("cluster-"), (pk % 50).cast("string"))),
+            F.lit("openshift_node"),
+            F.when(pk % 5 == 0, F.concat(F.lit("node-"), (pk % 100).cast("string"))),
+            F.lit("openshift_project"),
+            F.when(pk % 3 == 0, F.concat(F.lit("ns-"), (pk % 40).cast("string"))),
+            F.lit("app"),
+            F.concat(F.col("p_brand"), F.lit("-"), (pk % 16).cast("string")),
+            F.lit("env"),
+            F.concat(F.lit("env"), (psz % 4).cast("string")),
+            F.lit("cost-center"),
+            F.concat(F.lit("cc-"), (pk % 10).cast("string")),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    aws = p.select(
+        "p_partkey",
+        F.col("p_brand").like("%2").alias("rid_matched"),
+        tag_map.alias("resourcetags"),
+    )
+    enabled = spark.createDataFrame([(k,) for k in _J12_ENABLED], ["key"])
+    tags = (
+        aws.filter(~F.col("rid_matched"))
+        .select("p_partkey", F.explode("resourcetags"))
+        .join(F.broadcast(enabled), "key")
+        .cache()
+    )
+    # OCP label sets, derived from the dimension tables (DISTINCT relations;
+    # at scale these are the large semi-join sides)
+    clusters = (
+        _t(spark, sf, "supplier")
+        .select(F.concat(F.lit("cluster-"), (F.col("s_suppkey") % 30).cast("string")).alias("value"))
+        .distinct()
+    )
+    aliases = (
+        _t(spark, sf, "nation")
+        .select(F.concat(F.lit("cluster-"), (F.col("n_nationkey") % 10 + 30).cast("string")).alias("value"))
+        .distinct()
+    )
+    nodes = (
+        _t(spark, sf, "customer")
+        .select(F.concat(F.lit("node-"), (F.col("c_custkey") % 60).cast("string")).alias("value"))
+        .distinct()
+    )
+    namespaces = (
+        _t(spark, sf, "orders")
+        .select(F.concat(F.lit("ns-"), (F.col("o_orderkey") % 26).cast("string")).alias("value"))
+        .distinct()
+    )
+    pod_labels = (
+        _t(spark, sf, "part")
+        .filter(pk % 4 == 0)
+        .select(
+            F.concat(F.lit("app="), F.col("p_brand"), F.lit("-"), (pk % 16).cast("string")).alias("label")
+        )
+        .distinct()
+    )
+    vol_labels = (
+        _t(spark, sf, "lineitem")
+        .select(F.concat(F.lit("env=env"), (F.col("l_linenumber") % 2).cast("string")).alias("label"))
+        .distinct()
+    )
+
+    def special(key: str, sets_df: DataFrame, stage: int, mtype: str, suffix: str = "") -> DataFrame:
+        return (
+            tags.filter(F.col("key") == key)
+            .join(sets_df, "value")
+            .select(
+                "p_partkey",
+                F.lit(stage).alias("stage"),
+                "key",
+                F.concat(F.lit(key + "="), F.col("value"), F.lit(suffix)).alias("matched_tag"),
+                F.lit(mtype).alias("match_type"),
+            )
+        )
+
+    gen = tags.filter(~F.col("key").isin(*_J12_SPECIAL)).withColumn(
+        "label", F.concat(F.col("key"), F.lit("="), F.col("value"))
+    )
+
+    def generic(sets_df: DataFrame, stage: int, mtype: str) -> DataFrame:
+        return gen.join(sets_df, "label").select(
+            "p_partkey",
+            F.lit(stage).alias("stage"),
+            "key",
+            F.concat(F.col("label"), F.lit(f" ({mtype})")).alias("matched_tag"),
+            F.lit(mtype).alias("match_type"),
+        )
+
+    matches = (
+        special("openshift_cluster", clusters, 1, "cluster_id")
+        .unionByName(special("openshift_cluster", aliases, 2, "cluster_alias", " (alias)"))
+        .unionByName(special("openshift_node", nodes, 3, "node"))
+        .unionByName(special("openshift_project", namespaces, 4, "project"))
+        .unionByName(generic(pod_labels, 5, "pod_labels"))
+        .unionByName(generic(vol_labels, 6, "volume_labels"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("stage", "key")
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("matched_tag").alias("b_matched_tag"),
+            F.col("match_type").alias("b_match_type"),
+        )
+    )
+    out = aws.join(best, "p_partkey", "left")
+    return out.select(
+        "p_partkey",
+        F.when(F.col("rid_matched"), F.lit("resource_id"))
+        .otherwise(F.coalesce("b_match_type", F.lit("unmatched")))
+        .alias("match_type"),
+        F.when(F.col("rid_matched"), F.lit(None).cast("string"))
+        .otherwise(F.col("b_matched_tag"))
+        .alias("matched_tag"),
+        F.col("b_match_type").isNotNull().alias("tag_matched"),
+    )
+
+
+_J12_NONSPECIAL = "('openshift_cluster', 'openshift_node', 'openshift_project')"
+
+ORACLE_J12 = f"""
+WITH tags_raw AS (
+  SELECT p_partkey, (p_brand LIKE '%2') AS rid_matched,
+    [ struct_pack(k := 'openshift_cluster',
+        v := CASE WHEN p_partkey % 7 = 0 THEN 'cluster-' || CAST(p_partkey % 50 AS VARCHAR) END),
+      struct_pack(k := 'openshift_node',
+        v := CASE WHEN p_partkey % 5 = 0 THEN 'node-' || CAST(p_partkey % 100 AS VARCHAR) END),
+      struct_pack(k := 'openshift_project',
+        v := CASE WHEN p_partkey % 3 = 0 THEN 'ns-' || CAST(p_partkey % 40 AS VARCHAR) END),
+      struct_pack(k := 'app', v := p_brand || '-' || CAST(p_partkey % 16 AS VARCHAR)),
+      struct_pack(k := 'env', v := 'env' || CAST(p_size % 4 AS VARCHAR)),
+      struct_pack(k := 'cost-center', v := 'cc-' || CAST(p_partkey % 10 AS VARCHAR)) ] AS tags
+  FROM part),
+exploded AS (
+  SELECT p_partkey, rid_matched,
+         unnest(list_filter(tags, t -> t.v IS NOT NULL)) AS t
+  FROM tags_raw),
+tags AS (
+  SELECT p_partkey, t.k AS key, t.v AS value FROM exploded
+  WHERE NOT rid_matched
+    AND t.k IN ('openshift_cluster', 'openshift_node', 'openshift_project', 'app', 'env')),
+clusters AS (SELECT DISTINCT 'cluster-' || CAST(s_suppkey % 30 AS VARCHAR) AS value FROM supplier),
+aliases AS (SELECT DISTINCT 'cluster-' || CAST(n_nationkey % 10 + 30 AS VARCHAR) AS value FROM nation),
+nodes AS (SELECT DISTINCT 'node-' || CAST(c_custkey % 60 AS VARCHAR) AS value FROM customer),
+namespaces AS (SELECT DISTINCT 'ns-' || CAST(o_orderkey % 26 AS VARCHAR) AS value FROM orders),
+pod_labels AS (
+  SELECT DISTINCT 'app=' || p_brand || '-' || CAST(p_partkey % 16 AS VARCHAR) AS label
+  FROM part WHERE p_partkey % 4 = 0),
+vol_labels AS (
+  SELECT DISTINCT 'env=env' || CAST(l_linenumber % 2 AS VARCHAR) AS label FROM lineitem),
+matches AS (
+  SELECT t.p_partkey, 1 AS stage, t.key,
+         'openshift_cluster=' || t.value AS matched_tag, 'cluster_id' AS match_type
+    FROM tags t JOIN clusters s USING (value) WHERE t.key = 'openshift_cluster'
+  UNION ALL
+  SELECT t.p_partkey, 2, t.key, 'openshift_cluster=' || t.value || ' (alias)', 'cluster_alias'
+    FROM tags t JOIN aliases s USING (value) WHERE t.key = 'openshift_cluster'
+  UNION ALL
+  SELECT t.p_partkey, 3, t.key, 'openshift_node=' || t.value, 'node'
+    FROM tags t JOIN nodes s USING (value) WHERE t.key = 'openshift_node'
+  UNION ALL
+  SELECT t.p_partkey, 4, t.key, 'openshift_project=' || t.value, 'project'
+    FROM tags t JOIN namespaces s USING (value) WHERE t.key = 'openshift_project'
+  UNION ALL
+  SELECT t.p_partkey, 5, t.key, t.key || '=' || t.value || ' (pod_labels)', 'pod_labels'
+    FROM tags t JOIN pod_labels s ON s.label = t.key || '=' || t.value
+    WHERE t.key NOT IN {_J12_NONSPECIAL}
+  UNION ALL
+  SELECT t.p_partkey, 6, t.key, t.key || '=' || t.value || ' (volume_labels)', 'volume_labels'
+    FROM tags t JOIN vol_labels s ON s.label = t.key || '=' || t.value
+    WHERE t.key NOT IN {_J12_NONSPECIAL}),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY stage, key) AS rn
+  FROM matches),
+base AS (SELECT p_partkey, (p_brand LIKE '%2') AS rid_matched FROM part)
+SELECT b.p_partkey,
+       CASE WHEN b.rid_matched THEN 'resource_id'
+            ELSE coalesce(m.match_type, 'unmatched') END AS match_type,
+       CASE WHEN b.rid_matched THEN NULL ELSE m.matched_tag END AS matched_tag,
+       (m.match_type IS NOT NULL) AS tag_matched
+FROM base b LEFT JOIN (SELECT * FROM best WHERE rn = 1) m USING (p_partkey)
+"""
+
+
+# ═════════ A4: null-key grouping parity (reference dropna=False) ═════════════
+# Reference: aggregator_storage.py:313-339 — pandas groupby(dropna=False);
+# both Spark and DuckDB keep NULL group keys natively, and this query pins
+# that cross-engine agreement (the NaN-vs-NULL scar SURVEY §7.4#5 warns of).
+
+
+def q_a4_nullkey_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    direction = (
+        F.when(F.col("o_orderpriority").contains("HIGH"), "IN")
+        .when(F.col("o_orderpriority").contains("LOW"), "OUT")
+    )  # NULL otherwise — NULL is a real group, never dropped
+    return (
+        o.withColumn("direction", direction)
+        .groupBy("direction", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            _isum(F.col("o_totalprice")).alias("sum_price"),
+            F.max("o_orderpriority").alias("max_priority"),
+        )
+    )
+
+
+ORACLE_A4 = f"""
+SELECT CASE WHEN o_orderpriority LIKE '%HIGH%' THEN 'IN'
+            WHEN o_orderpriority LIKE '%LOW%' THEN 'OUT' END AS direction,
+       o_orderstatus, count(*) AS n,
+       {_duck_isum('o_totalprice')} AS sum_price,
+       max(o_orderpriority) AS max_priority
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ═════════════ P12: null/NaN scrub + per-column fill defaults ════════════════
+# Reference: aggregator_ocp_aws.py:1074-1104 — fillna maps per column and
+# np.nan→None scrubbing before writes. Nulls/NaNs are injected
+# deterministically, NaN is scrubbed to NULL (isnan → NULL, the reference's
+# nan_to_null), then na.fill applies the per-column defaults map.
+
+
+def q_p12_null_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    qty = F.when(F.col("l_linenumber") % 5 != 0, F.col("l_quantity"))  # NULL on %5==0
+    tax = F.when(F.col("l_linenumber") % 7 == 0, F.lit(float("nan"))).otherwise(F.col("l_tax"))
+    flag = F.when(F.col("l_linenumber") % 3 != 0, F.col("l_returnflag"))  # NULL on %3==0
+    df = li.select(
+        "l_orderkey", "l_linenumber", qty.alias("qty"), tax.alias("tax"), flag.alias("flag")
+    )
+    df = df.withColumn("tax", F.when(F.isnan("tax"), F.lit(None)).otherwise(F.col("tax")))
+    df = df.na.fill({"qty": 0.0, "tax": 0.25, "flag": "U"})
+    return df.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        _isum(F.col("qty")).alias("sum_qty"),
+        _isum(F.col("tax")).alias("sum_tax"),
+    )
+
+
+ORACLE_P12 = f"""
+WITH injected AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber % 5 != 0 THEN l_quantity END AS qty,
+         CASE WHEN l_linenumber % 7 = 0 THEN 'NaN'::DOUBLE ELSE l_tax END AS tax,
+         CASE WHEN l_linenumber % 3 != 0 THEN l_returnflag END AS flag
+  FROM lineitem),
+scrubbed AS (
+  SELECT l_orderkey, l_linenumber,
+         coalesce(qty, 0.0) AS qty,
+         coalesce(CASE WHEN isnan(tax) THEN NULL ELSE tax END, 0.25) AS tax,
+         coalesce(flag, 'U') AS flag
+  FROM injected)
+SELECT flag, count(*) AS n,
+       {_duck_isum('qty')} AS sum_qty,
+       {_duck_isum('tax')} AS sum_tax
+FROM scrubbed GROUP BY flag
+"""
+
+
+QUERIES.update(
+    {
+        "j12_tag_cascade": q_j12_tag_cascade,
+        "a4_nullkey_rollup": q_a4_nullkey_rollup,
+        "p12_null_scrub": q_p12_null_scrub,
+    }
+)
+ORACLES.update(
+    {
+        "j12_tag_cascade": ORACLE_J12,
+        "a4_nullkey_rollup": ORACLE_A4,
+        "p12_null_scrub": ORACLE_P12,
+    }
+)
