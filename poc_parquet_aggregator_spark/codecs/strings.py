@@ -140,44 +140,45 @@ def encode_strings(strings, codec_id: int) -> bytes:
             + _child(codes_blob)
         )
     if codec_id == FSST:
-        offs0 = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offs0[1:])
-        n_sample = min(512, len(lens))
-        sample_strings = [
-            payload[offs0[i] : offs0[i + 1]] for i in range(n_sample)
-        ]
-        table = _train_symbols(sample_strings)
-        # encode per string: symbols never span string boundaries (FSST's
-        # per-string semantics), which also yields exact per-string encoded
-        # lengths for random-access decode.
-        pattern = _compile_pattern(table)
-        code_of = {s: bytes([i]) for i, s in enumerate(table)}
-        esc = bytes([_ESCAPE])
-
-        def repl(m: "re.Match[bytes]") -> bytes:
-            c = code_of.get(m.group(0))
-            return c if c is not None else esc + m.group(0)
-
-        offs = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offs[1:])
-        pieces = [
-            pattern.sub(repl, payload[offs[i] : offs[i + 1]])
-            for i in range(len(lens))
-        ]
-        enc = b"".join(pieces)
-        enc_lens = np.fromiter(
-            (len(p) for p in pieces), dtype=np.int32, count=len(pieces)
-        )
-        sym_blob = b"".join(bytes([len(s)]) + s for s in table)
-        return (
-            bytes([FSST])
-            + _U32.pack(len(lens))
-            + bytes([len(table)])
-            + _child(sym_blob)
-            + _child(encode_ints_best(enc_lens))
-            + enc
-        )
+        return _fsst_from_payload(payload, lens)
     raise ValueError(f"unknown string codec {codec_id}")
+
+
+def _fsst_from_payload(payload: bytes, lens: np.ndarray) -> bytes:
+    """FSST-encode a string chunk given only its flat utf-8 payload and
+    per-string lengths — the representation Arrow's offsets/data buffers
+    give for free, so no per-row Python strings are ever materialized
+    (bytes SLICES of one payload are cheap; decoded PyUnicode objects are
+    the measured 10× TLB-storm at 32 workers). Symbols never span string
+    boundaries (FSST's per-string semantics), which also yields exact
+    per-string encoded lengths for random-access decode."""
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    n_sample = min(512, len(lens))
+    sample_strings = [payload[offs[i] : offs[i + 1]] for i in range(n_sample)]
+    table = _train_symbols(sample_strings)
+    pattern = _compile_pattern(table)
+    code_of = {s: bytes([i]) for i, s in enumerate(table)}
+    esc = bytes([_ESCAPE])
+
+    def repl(m: "re.Match[bytes]") -> bytes:
+        c = code_of.get(m.group(0))
+        return c if c is not None else esc + m.group(0)
+
+    pieces = [
+        pattern.sub(repl, payload[offs[i] : offs[i + 1]]) for i in range(len(lens))
+    ]
+    enc = b"".join(pieces)
+    enc_lens = np.fromiter((len(p) for p in pieces), dtype=np.int32, count=len(pieces))
+    sym_blob = b"".join(bytes([len(s)]) + s for s in table)
+    return (
+        bytes([FSST])
+        + _U32.pack(len(lens))
+        + bytes([len(table)])
+        + _child(sym_blob)
+        + _child(encode_ints_best(enc_lens))
+        + enc
+    )
 
 
 def encode_strings_auto(strings) -> tuple[bytes, int]:
@@ -251,15 +252,18 @@ def encode_strings_arrow(arr, zstd_post: bool = True) -> tuple[bytes, int]:
     lens = np.diff(offsets).astype(np.int32)
 
     plain_blob = _plain_from_buffers(payload, lens)
-    # sampled FSST trial: is FSST+zstd smaller than plain+zstd?
-    sample = arr.slice(0, min(512, n)).to_pylist()
+    # sampled FSST trial (on payload slices — still zero Python strings):
+    # is FSST+zstd smaller than plain+zstd?
+    n_sample = min(512, n)
+    sample_lens = lens[:n_sample]
+    sample_payload = payload[: int(sample_lens.sum())]
     from .ints import wrap_zstd as _wz
 
     post = _wz if zstd_post else (lambda b: b)
-    fsst_sample = encode_strings(sample, FSST)
-    plain_sample = encode_strings(sample, STR_PLAIN)
+    fsst_sample = _fsst_from_payload(sample_payload, sample_lens)
+    plain_sample = _plain_from_buffers(sample_payload, sample_lens)
     if len(post(fsst_sample)) < 0.9 * len(post(plain_sample)):
-        return encode_strings(arr.to_pylist(), FSST), FSST
+        return _fsst_from_payload(payload, lens), FSST
     return plain_blob, STR_PLAIN
 
 

@@ -129,3 +129,29 @@ def test_str_dict_beats_plain_on_categoricals():
     blob, codec = encode_strings_auto(src)
     assert codec == CS.STR_DICT
     assert len(blob) < 0.05 * sum(len(s) for s in src)
+
+
+def test_arrow_fsst_branch_from_buffers():
+    """encode_strings_arrow's FSST branch must work straight from the Arrow
+    payload/offsets buffers (no to_pylist) and roundtrip bit-identically,
+    including multi-chunk and offset-sliced inputs."""
+    import random
+
+    import pyarrow as pa
+
+    random.seed(7)
+    frags = ["".join(random.choice("abcdefghijklmnop") for _ in range(8)) for _ in range(40)]
+    vals = ["".join(random.choice(frags) for _ in range(6)) + str(i % 7) for i in range(8000)]
+    random.shuffle(vals)
+    arr = pa.array(vals, type=pa.string())
+    blob, codec = CS.encode_strings_arrow(arr)
+    assert codec == CS.FSST
+    assert decode_strings(blob) == vals
+    # sliced array (nonzero offset into the buffers) must encode the slice only
+    sl = arr.slice(100, 5000)
+    blob2, _ = CS.encode_strings_arrow(sl)
+    assert decode_strings(blob2) == vals[100:5100]
+    # chunked input
+    ch = pa.chunked_array([arr.slice(0, 3000), arr.slice(3000)])
+    blob3, codec3 = CS.encode_strings_arrow(ch)
+    assert decode_strings(blob3) == vals
