@@ -28,9 +28,17 @@ def parse_labels(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     json_map = F.from_json(c, _MAP_SS)
+    # split first, then strip the 'label_' prefix from KEYS ONLY — a blanket
+    # regexp_replace on the raw string would mangle values like "app:label_web"
+    # (the reference strips the prefix from keys, utils.py:59-94). Caveat: a
+    # pathological input holding both 'label_app' and 'app' collides
+    # post-strip, exactly as the reference's dict insertion would.
     pipe_map = F.when(
         c.isNotNull() & (c != ""),
-        F.str_to_map(F.regexp_replace(c, F.lit("label_"), F.lit("")), F.lit("\\|"), F.lit(":")),
+        F.transform_keys(
+            F.str_to_map(c, F.lit("\\|"), F.lit(":")),
+            lambda k, _v: F.regexp_replace(k, "^label_", ""),
+        ),
     )
     empty = F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>"))
     return F.coalesce(json_map, pipe_map, empty)
