@@ -47,6 +47,20 @@ HEADLINE = [
     "multimodal_decode_meta",
 ]
 
+# extended/LLM-pipeline operators tracked round-over-round so a regression
+# there is visible even though they aren't headline queries
+EXTENDED = [
+    "j12_tag_cascade",
+    "j19_asof_join",
+    "j20_range_join",
+    "w4_sessionization",
+    "a16_grouping_sets",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_rolling_hash",
+    "ann_ivf",
+]
+
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 ENC_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -64,7 +78,7 @@ def _bench_data_dir() -> str:
     return d
 
 
-def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, float]]:
     from poc_parquet_aggregator_spark.operators import QUERIES
     from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
 
@@ -75,8 +89,13 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         t0 = time.time()
         _force(QUERIES[name](spark, sf_dir))
         out[name] = round(time.time() - t0, 3)
+    ext: dict[str, float] = {}
+    for name in EXTENDED:
+        t0 = time.time()
+        _force(QUERIES[name](spark, sf_dir))
+        ext[name] = round(time.time() - t0, 3)
     stop_spark()
-    return out
+    return out, ext
 
 
 def _trimmed_median(walls: list[float]) -> float:
@@ -143,29 +162,28 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    queries = run_queries(sf_dir, cpus)
+    queries, ext_queries = run_queries(sf_dir, cpus)
 
     # N vs 4N scaling criterion (archive mode = CPU-bound; see module doc).
     # Efficiency is a RATIO of two measurements taken minutes apart — host
     # drift between the blocks contaminates it even when each block is
-    # internally clean, so on a sub-bar reading the whole pair is measured
-    # once more and the better paired efficiency is reported (all runs stay
-    # in the JSON for transparency).
-    enc_n = run_encode(2, zstd_level=15)
-    enc_4n = run_encode(8, zstd_level=15, verify=True)
-    eff = enc_4n["tokens_per_s"] / (4.0 * enc_n["tokens_per_s"])
-    for _ in range(2):  # quiet-window measurements put the true value ~0.9
-        if eff >= 0.8:
-            break
-        enc_n2 = run_encode(2, zstd_level=15)
-        enc_4n2 = run_encode(8, zstd_level=15)
-        eff2 = enc_4n2["tokens_per_s"] / (4.0 * enc_n2["tokens_per_s"])
-        if eff2 > eff:
-            enc_n2["wall_s_runs"] = enc_n["wall_s_runs"] + enc_n2["wall_s_runs"]
-            enc_4n2["wall_s_runs"] = enc_4n["wall_s_runs"] + enc_4n2["wall_s_runs"]
-            enc_4n2["bit_identical"] = enc_4n.get("bit_identical")
-            enc_4n2["decode_tokens_per_s"] = enc_4n.get("decode_tokens_per_s")
-            enc_n, enc_4n, eff = enc_n2, enc_4n2, eff2
+    # internally clean. Protocol (unbiased under contention): measure the
+    # pair once; if it reads below the bar, measure up to two more FULL
+    # pairs and report the MEDIAN paired efficiency across all attempts —
+    # never the maximum, which would be a one-sided upward bias. Every
+    # attempt's efficiency stays in the JSON.
+    pairs = [(run_encode(2, zstd_level=15), run_encode(8, zstd_level=15, verify=True))]
+    effs = [pairs[0][1]["tokens_per_s"] / (4.0 * pairs[0][0]["tokens_per_s"])]
+    while len(pairs) < 3 and statistics.median(effs) < 0.8:
+        n2, f2 = run_encode(2, zstd_level=15), run_encode(8, zstd_level=15)
+        pairs.append((n2, f2))
+        effs.append(f2["tokens_per_s"] / (4.0 * n2["tokens_per_s"]))
+    eff = statistics.median(effs)
+    # representative pair = the attempt whose efficiency is the median
+    rep = min(range(len(effs)), key=lambda i: abs(effs[i] - eff))
+    enc_n, enc_4n = pairs[rep]
+    enc_4n.setdefault("bit_identical", pairs[0][1].get("bit_identical"))
+    enc_4n.setdefault("decode_tokens_per_s", pairs[0][1].get("decode_tokens_per_s"))
     # peak throughput, fast mode, all cores
     enc_fast = run_encode(cpus, zstd_level=3)
     # max-ratio mode: zstd 19 — the best-compression operating point
@@ -179,11 +197,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_extended": ext_queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "encode": {
                     "scaling_N_cores2": enc_n,
                     "scaling_4N_cores8": enc_4n,
                     "scaling_efficiency": round(eff, 3),
+                    "scaling_attempts": [round(e, 3) for e in effs],
                     "fast_mode_full_cores": enc_fast,
                     "max_ratio_mode_cores8": enc_max,
                 },

@@ -352,8 +352,39 @@ def compact_manifest(out_dir: str) -> dict:
 
 
 def _snapshot(path: str) -> dict:
+    """Input-file snapshot for exact resume: size AND mtime, so an in-place
+    rewrite to the same byte count still invalidates the commit."""
     st = os.stat(path)
-    return {"size": st.st_size, "path": path}
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns, "path": path}
+
+
+def _snapshot_matches(rec: dict, path: str) -> bool:
+    snap = rec.get("snapshot", {})
+    st = os.stat(path)
+    return snap.get("size") == st.st_size and snap.get("mtime_ns") == st.st_mtime_ns
+
+
+_LAYOUT_FILE = "_layout.json"
+
+
+def write_layout(out_dir: str, layout: str) -> None:
+    """Record the physical layout (per-file | by-source) in the manifest dir;
+    read_decoded uses it to decide whether file_stem carries the source
+    prefix (atomic rename, same protocol as every other manifest write)."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, _LAYOUT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"layout": layout}, f)
+    os.rename(tmp, os.path.join(mdir, _LAYOUT_FILE))
+
+
+def read_layout(out_dir: str) -> str | None:
+    p = os.path.join(_manifest_dir(out_dir), _LAYOUT_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("layout")
 
 
 def _commit_file(out_dir: str, staging_dir: str, stem: str, record: dict) -> None:
@@ -394,12 +425,15 @@ def encode_dataset(
     )
     if not files:
         raise ValueError(f"no parquet files under {input_path}")
+    # commits are keyed by basename stem: same-named files from different
+    # directories would collapse into one commit and silently drop data
+    stems = [_stem(f) for f in files]
+    if len(set(stems)) != len(stems):
+        dupes = sorted({s for s in stems if stems.count(s) > 1})
+        raise ValueError(f"duplicate input file stems (commit key collision): {dupes}")
     done = read_manifest(out_dir)
     todo = [
-        f
-        for f in files
-        if _stem(f) not in done
-        or done[_stem(f)].get("snapshot", {}).get("size") != os.stat(f).st_size
+        f for f in files if _stem(f) not in done or not _snapshot_matches(done[_stem(f)], f)
     ]
     metrics = {
         "files_total": len(files),
@@ -459,6 +493,7 @@ def encode_dataset(
             }
             _commit_file(out_dir, staging_dir, stem, rec)
         shutil.rmtree(staging_dir, ignore_errors=True)
+        write_layout(out_dir, "per-file")
 
     manifest = read_manifest(out_dir)
     metrics["n_docs"] = sum(r["n_docs"] for r in manifest.values())
@@ -492,14 +527,18 @@ def read_decoded(
     Selective decode — the point of a columnar format at 100 TB:
       * ``sources``: with by-source layout (encode_dataset_by_source) the
         `file_stem` partition column starts with the source name, so the
-        filter prunes whole partition directories before any IO;
+        filter prunes whole partition directories before any IO. The prune
+        is applied ONLY when the manifest's layout record says the stems
+        carry the source prefix — on the default per-file layout (stems like
+        'tokens-000000000000') it would silently drop every row, so there
+        the post-decode source filter alone applies;
       * ``doc_id_range``: chunk zone maps (doc_id_min/max) skip chunks at
         the parquet scan (row-group stats) — blobs of skipped chunks are
         never read, let alone decoded. An exact row filter is applied
         after decode.
     """
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
-    if sources:
+    if sources and read_layout(out_dir) == "by-source":
         cond = None
         for s in sources:
             c = F.col("file_stem").startswith(s)

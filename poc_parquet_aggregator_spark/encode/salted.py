@@ -35,13 +35,16 @@ from .pipeline import (
     _commit_file,
     _make_encode_fn,
     read_manifest,
+    write_layout,
 )
 
 
 def _input_snapshot(files: list[str]) -> dict:
-    sig = zlib.crc32(
-        "|".join(f"{os.path.basename(f)}:{os.stat(f).st_size}" for f in sorted(files)).encode()
-    )
+    def sig_of(f: str) -> str:
+        st = os.stat(f)
+        return f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}"
+
+    sig = zlib.crc32("|".join(sig_of(f) for f in sorted(files)).encode())
     return {"n_files": len(files), "crc": sig}
 
 
@@ -154,6 +157,7 @@ def encode_dataset_by_source(
                 {"snapshot": snapshot, "n_salts": n_salts, "buckets": all_buckets}, f
             )
         os.rename(tmp, job_path)
+        write_layout(out_dir, "by-source")
 
     manifest = read_manifest(out_dir)
     manifest.pop("_job", None)

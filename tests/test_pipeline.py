@@ -119,7 +119,9 @@ def test_salted_lost_manifest_re_encodes(spark, token_dir, tmp_path):
     out = str(tmp_path / "enc_salted")
     m0 = encode_dataset_by_source(spark, token_dir, out, n_salts=4)
     manifests = sorted(
-        p for p in g.glob(out + "/_manifest/*.json") if "_job" not in p
+        p
+        for p in g.glob(out + "/_manifest/*.json")
+        if not os.path.basename(p).startswith("_")  # skip job-level records
     )
     os.remove(manifests[0])
     m = encode_dataset_by_source(spark, token_dir, out, n_salts=4)
@@ -246,3 +248,52 @@ def test_manifest_compaction(spark, token_dir, tmp_path):
     assert stats2["absorbed"] == 0
     assert read_manifest(out) == before
     assert stem in before
+
+
+def test_perfile_layout_source_filter_not_pruned(spark, token_dir, tmp_path):
+    """On the default per-file layout the file_stem prefix prune must NOT
+    apply (stems are 'tokens-...', not source names) — the sources filter
+    still returns the right rows via the post-decode filter."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+    from poc_parquet_aggregator_spark.encode.pipeline import read_layout
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    assert read_layout(out) == "per-file"
+    full = read_decoded(spark, out)
+    by_src = read_decoded(spark, out, sources=["src00"])
+    n = full.filter(F.col("source") == "src00").count()
+    assert n > 0
+    assert by_src.count() == n
+
+
+def test_same_size_inplace_modify_re_encodes(spark, token_dir, tmp_path):
+    """Resume must re-encode an input rewritten in place to the SAME byte
+    size (snapshot compares mtime, not just size)."""
+    out = str(tmp_path / "enc")
+    src = str(tmp_path / "src")
+    shutil.copytree(token_dir, src)
+    encode_dataset(spark, src, out)
+    f = sorted(os.listdir(src))[0]
+    path = os.path.join(src, f)
+    data = open(path, "rb").read()
+    os.utime(path, ns=(os.stat(path).st_atime_ns, os.stat(path).st_mtime_ns + 10**9))
+    open(path, "wb").write(data)  # byte-identical rewrite, new mtime
+    m = encode_dataset(spark, src, out)
+    assert m["files_encoded"] == 1
+    assert decode_verify(spark, src, out)["bit_identical"]
+
+
+def test_duplicate_stems_rejected(spark, token_dir, tmp_path):
+    """Same-named inputs from different dirs share a commit key — must be
+    rejected up front instead of silently dropping one of them."""
+    other = str(tmp_path / "other")
+    write_token_table(other, 1000, seed=5, docs_per_file=1000)
+    files = sorted(
+        os.path.join(token_dir, f) for f in os.listdir(token_dir)
+    ) + sorted(os.path.join(other, f) for f in os.listdir(other))
+    # both dirs start numbering at tokens-000000000000
+    with pytest.raises(ValueError, match="duplicate input file stems"):
+        encode_dataset(spark, files, str(tmp_path / "enc"))
