@@ -16,29 +16,53 @@ from .relational import _duck_isum, _isum, _t
 
 # ───────────────────────────── as-of join ────────────────────────────────────
 # For each event, the latest order of that user at or before the event time.
-# Spark lacks a native ASOF join; the composition below (equi-join on the
-# key + time predicate + row_number keep-latest) is exact. At 100 TB the
-# same semantics come from bucketing both sides on the key and a
-# sort-merge within buckets — the shuffle is on user_id either way; the
-# row_number window adds one sort that the bucketed layout amortizes.
+# Spark lacks a native ASOF join; this is the union-and-sweep plan: tag both
+# sides, union, ONE sort per user partition, and carry the latest order
+# forward with last(ignorenulls). The naive composition (theta-join on
+# ts ≥ o_orderdate then row_number keep-latest) materializes event × ALL
+# earlier orders per user before the filter — quadratic on a hot user; the
+# sweep is O((|E|+|O|) log) per user and shuffles once on user_id. At 100 TB
+# bucket both tables on the key and the sort happens within buckets.
 
 
 def q_j19_asof_join(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
-    o = _t(spark, sf, "orders")
-    joined = ev.join(
-        o, (ev.user_id == o.o_custkey) & (ev.ts >= o.o_orderdate), "left"
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),  # events sort AFTER same-instant orders
+        "event_id",
+        "event_type",
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        "o_totalprice",
     )
-    latest = joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    both = ev.unionByName(o, allowMissingColumns=True)
+    # total order: time, then orders-before-events (ts ≥ o_orderdate is
+    # inclusive), then orderkey asc so the GREATEST key at an equal date is
+    # the one carried forward (same tie-break as the window formulation)
+    w = Window.partitionBy("uid").orderBy(
+        F.col("t"),
+        F.col("kind"),
+        F.col("o_orderkey").asc_nulls_first(),
+        F.col("event_id").asc_nulls_first(),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = both.select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(cum).alias("m_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(cum).alias("m_price"),
+    )
+    hits = swept.filter(F.col("kind") == 1)
     return (
-        latest.withColumn("matched", F.col("o_orderkey").isNotNull())
+        hits.withColumn("matched", F.col("m_orderkey").isNotNull())
         .groupBy("event_type", "matched")
         .agg(
             F.count("*").alias("n"),
-            _isum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("sum_price"),
+            _isum(F.coalesce(F.col("m_price"), F.lit(0.0))).alias("sum_price"),
         )
     )
 
