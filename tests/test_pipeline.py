@@ -297,3 +297,26 @@ def test_duplicate_stems_rejected(spark, token_dir, tmp_path):
     # both dirs start numbering at tokens-000000000000
     with pytest.raises(ValueError, match="duplicate input file stems"):
         encode_dataset(spark, files, str(tmp_path / "enc"))
+
+
+def test_jdbc_dimension_seam(spark):
+    """S11 seam: dispatch + failure modes are real even without a driver JAR
+    in the sandbox (mirrors the iceberg adapter's contract)."""
+    from poc_parquet_aggregator_spark.sources import (
+        enabled_tag_keys,
+        has_jdbc_driver,
+        read_jdbc_dimension,
+    )
+
+    with pytest.raises(ValueError, match="not a JDBC url"):
+        read_jdbc_dimension(spark, "postgres://host/db", "t")
+    with pytest.raises(ValueError, match="no known driver"):
+        read_jdbc_dimension(spark, "jdbc:exotic://host/db", "t")
+    assert not has_jdbc_driver(spark, "org.postgresql.Driver")
+    with pytest.raises(RuntimeError, match="not on the classpath"):
+        read_jdbc_dimension(spark, "jdbc:postgresql://host/db", "enabled_tag_keys")
+    with pytest.raises(RuntimeError, match="not on the classpath"):
+        enabled_tag_keys(spark, url="jdbc:postgresql://host/db")
+    # local fallback is the broadcastable dim the queries use
+    dim = enabled_tag_keys(spark, local=["app", "env"])
+    assert [r["key"] for r in dim.collect()] == ["app", "env"]
