@@ -1324,3 +1324,90 @@ ORACLES.update(
         "p12_null_scrub": ORACLE_P12,
     }
 )
+
+
+# ═════════ P9: SavingsPlan / Tax line-item cost normalization ════════════════
+# Reference: aws_data_loader.py:141-207 (Trino 1_resource_matching_by_cluster
+# .sql lines 132-149, COST-5098) — SavingsPlanCoveredUsage rows with a valid
+# positive effective cost get unblended/blended zeroed (double-counting
+# guard), then calculated_amortized_cost = unblended for Tax/Usage rows and
+# the SavingsPlan effective cost for everything else. Line-item type and the
+# effective cost are synthesized deterministically (NULL / zero / positive
+# branches all populated so the notna-AND-positive guard is exercised).
+
+
+def q_p9_savingsplan_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    litype = (
+        F.when(F.col("o_orderstatus") == "F", "Usage")
+        .when(F.col("o_orderstatus") == "O", "SavingsPlanCoveredUsage")
+        .otherwise("Tax")
+    )
+    sp_cost = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("double"))
+        .when(F.col("o_orderkey") % 5 == 0, F.lit(0.0))
+        .otherwise(F.col("o_totalprice") * 0.7)
+    )
+    df = o.select(
+        "o_orderkey",
+        litype.alias("litype"),
+        sp_cost.alias("sp_cost"),
+        F.col("o_totalprice").alias("unblended"),
+        (F.col("o_totalprice") * 0.98).alias("blended"),
+    )
+    covered = (
+        (F.col("litype") == "SavingsPlanCoveredUsage")
+        & F.col("sp_cost").isNotNull()
+        & (F.col("sp_cost") > 0)
+    )
+    df = df.withColumn(
+        "unblended", F.when(covered, 0.0).otherwise(F.col("unblended"))
+    ).withColumn("blended", F.when(covered, 0.0).otherwise(F.col("blended")))
+    amortized = F.when(
+        F.col("litype").isin("Tax", "Usage"), F.col("unblended")
+    ).otherwise(F.col("sp_cost"))
+    return (
+        df.withColumn("amortized", amortized)
+        .groupBy("litype")
+        .agg(
+            F.count("*").alias("n"),
+            _isum(F.col("unblended")).alias("sum_unblended"),
+            _isum(F.col("blended")).alias("sum_blended"),
+            _isum(F.coalesce(F.col("amortized"), F.lit(0.0))).alias("sum_amortized"),
+        )
+    )
+
+
+ORACLE_P9 = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'Usage'
+              WHEN o_orderstatus = 'O' THEN 'SavingsPlanCoveredUsage'
+              ELSE 'Tax' END AS litype,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              WHEN o_orderkey % 5 = 0 THEN 0.0
+              ELSE o_totalprice * 0.7 END AS sp_cost,
+         o_totalprice AS unblended0,
+         o_totalprice * 0.98 AS blended0
+  FROM orders),
+zeroed AS (
+  SELECT *,
+         CASE WHEN litype = 'SavingsPlanCoveredUsage' AND sp_cost IS NOT NULL
+                   AND sp_cost > 0 THEN 0.0 ELSE unblended0 END AS unblended,
+         CASE WHEN litype = 'SavingsPlanCoveredUsage' AND sp_cost IS NOT NULL
+                   AND sp_cost > 0 THEN 0.0 ELSE blended0 END AS blended
+  FROM base),
+amort AS (
+  SELECT *, CASE WHEN litype IN ('Tax', 'Usage') THEN unblended
+                 ELSE sp_cost END AS amortized
+  FROM zeroed)
+SELECT litype, count(*) AS n,
+       {_duck_isum('unblended')} AS sum_unblended,
+       {_duck_isum('blended')} AS sum_blended,
+       {_duck_isum("coalesce(amortized, 0.0)")} AS sum_amortized
+FROM amort GROUP BY litype
+"""
+
+
+QUERIES.update({"p9_savingsplan_normalize": q_p9_savingsplan_normalize})
+ORACLES.update({"p9_savingsplan_normalize": ORACLE_P9})

@@ -65,3 +65,47 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _rowset(srows, scols) == _rowset(orows, ocols)
+
+
+def test_dedup_skew_guards_bound_candidates(spark, tmp_path):
+    """Skewed-corpus guard: 1000 byte-identical docs would emit ~500k
+    candidate pairs through any shingle/LSH self-join without the
+    document-frequency cap. With the cap their shingles are dropped, so the
+    near-dup operators emit ZERO pairs for that block (exact dedup still
+    catches it — that is the division of labor), while genuinely near-dup
+    docs with low-df shingles are still found."""
+    from pyspark.sql import types as T
+
+    from poc_parquet_aggregator_spark.operators.dedup import (
+        q_dedup_exact,
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+    )
+
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [(i, hot, "en", "s", len(hot)) for i in range(1000)]
+    rows += [(2001, near_a, "en", "s", len(near_a)), (2002, near_b, "en", "s", len(near_b))]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    jac = q_dedup_ngram_jaccard(spark, sf).collect()
+    mh = q_dedup_minhash_lsh(spark, sf).collect()
+    # linear, not quadratic: only the near-dup pair, never the 499500 hot pairs
+    assert {(r["doc_a"], r["doc_b"]) for r in jac} == {(2001, 2002)}
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(2001, 2002)}
+    # the identical block is exact-dedup's job
+    ex = {r["content_hash"]: r["n_copies"] for r in q_dedup_exact(spark, sf).collect()}
+    assert 1000 in ex.values()
