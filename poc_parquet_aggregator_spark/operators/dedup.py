@@ -192,17 +192,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (min over md5(seed||shingle) — portable string-min
     MinHash), banded LSH bucketing, candidate pairs from same-band buckets,
     then verified with exact Jaccard over the capped shingle sets (only
-    pairs with true J ≥ 0.5 survive). Shuffles: shingle→doc agg, band bucket
-    join, candidate∩shingle verify join. This is the 100 TB path: doc×doc
-    never materializes; the df cap and the band-bucket size cap bound every
-    join's fan-out."""
+    pairs with true J ≥ 0.5 survive).
+
+    Shuffle economy is the whole design: shingles aggregate into ONE
+    per-doc set frame (single doc_id shuffle, cached); signatures come from
+    the set arrays via array_min(transform(...)) — codegen'd, zero extra
+    shuffle; banding is one explode + a bucket-capped self-join; and
+    verification joins the (small) candidate pair set against the cached
+    doc-set frame twice, computing |A∩B| row-wise with array_intersect
+    instead of re-shuffling the exploded shingle table (an earlier version
+    did exactly that and was 4× the cost of the whole query). doc×doc never
+    materializes; the df cap and the bucket cap bound every fan-out."""
     d = _docs(spark, sf)
-    sh = _capped_shingles(d).cache()
+    sh = _capped_shingles(d)
+    doc_sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set"))
+        .cache()
+    )
     sig_cols = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"s{i}")
+        F.array_min(
+            F.transform("sh_set", lambda x: F.md5(F.concat(F.lit(f"{i}|"), x)))
+        ).alias(f"s{i}")
         for i in range(_N_HASHES)
     ]
-    sigs = sh.groupBy("doc_id").agg(*sig_cols)
+    sigs = doc_sets.select("doc_id", *sig_cols)
     # one band row per (doc, band) via a single explode — a union of N
     # projections would rescan/reaggregate the signature pipeline N times
     band_structs = F.array(
@@ -243,22 +258,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification of candidates only (never all pairs):
-    # intersect each candidate pair's shingle sets via two key joins
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # |A∩B| computed row-wise on the cached per-doc sets — two joins of the
+    # small candidate frame, no shingle-table re-shuffle
+    sets_a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    sets_b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")

@@ -137,3 +137,106 @@ def streaming_daily_rollup(
             "max_value",
         )
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap_s: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` — the streaming twin of
+    operators.extended.q_w4_sessionization and the canonical use of
+    per-group state Spark's built-in windows can't express (a session's
+    length is data-dependent).
+
+    Per user, GroupState carries the open session (start, last-event time,
+    count). Each micro-batch sorts its arrivals (numpy, vectorized within
+    the group — applyInPandasWithState's contract is per-group pandas, not
+    per-row Python), merges them with the carried session, EMITS every
+    session closed by an inactivity gap, and keeps the open tail in state
+    with an event-time timeout at last_ts + gap so idle sessions are
+    flushed when the watermark passes them.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    in_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ts", LongType()),
+            StructField("last_ts", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def sessionize(key, pdfs, state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        (uid,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if state.hasTimedOut:
+            start_ts, last_ts, n = state.get
+            state.remove()
+            yield pd.DataFrame([(uid, start_ts, last_ts, n)], columns=cols)
+            return
+        ts = np.sort(
+            np.concatenate(
+                [pdf["ts"].astype("int64").to_numpy() // 1_000_000_000 for pdf in pdfs]
+            )
+        )
+        if len(ts) == 0:
+            return
+        closed: list[tuple] = []
+        open_sess = state.get if state.exists else None  # (start, last, n)
+        # segment the batch at inactivity gaps
+        cuts = np.flatnonzero(np.diff(ts) > gap_s)
+        starts = np.concatenate(([0], cuts + 1))
+        ends = np.concatenate((cuts, [len(ts) - 1]))
+        segs = [(int(ts[s]), int(ts[e]), int(e - s + 1)) for s, e in zip(starts, ends)]
+        if open_sess is not None:
+            o_start, o_last, o_n = open_sess
+            if segs and segs[0][0] - o_last <= gap_s:
+                s0 = segs[0]
+                segs[0] = (o_start, s0[1], o_n + s0[2])
+            else:
+                closed.append((uid, o_start, o_last, o_n))
+        closed.extend((uid, s, e, n) for s, e, n in segs[:-1])
+        tail = segs[-1]
+        state.update(tail)
+        state.setTimeoutTimestamp((tail[1] + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    events = spark.readStream.schema(in_schema).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

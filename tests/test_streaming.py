@@ -69,3 +69,58 @@ def test_streaming_daily_rollup_matches_batch(spark, tmp_path):
         )
     }
     assert got == expect
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: state carries open sessions
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces one batch per file);
+    sessions closed by an inactivity gap are emitted exactly once."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], type=pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{src}/{name}.parquet")
+
+    # NB: event times must sit ABOVE the initial watermark (epoch 0) or the
+    # stateful operator drops them as late — hence the base offset.
+    B = 1_000_000
+    # batch A: user 1 events at +0,+100,+200; user 2 at +0 and +4000
+    write("a", [(1, B), (1, B + 100), (1, B + 200), (2, B), (2, B + 4000)])
+    time.sleep(1.1)  # file source orders batches by mtime
+    # batch B: user 1 at +250 (merges with open session) then +5000 (gap →
+    # closes +0..+250); user 2 at +4100 (merges, stays open)
+    write("b", [(1, B + 250), (1, B + 5000), (2, B + 4100)])
+
+    q = (
+        streaming_sessionize(spark, src, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # user 1: +0..+250 (4 events, merged ACROSS the batch boundary) closed
+    # by the +5000 gap; user 2: the single event at +0 closed by the +4000
+    # gap. Open tails (1@+5000, 2@+4000..+4100) stay in state — not emitted.
+    assert got == {(1, B, B + 250, 4), (2, B, B, 1)}
