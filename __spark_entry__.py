@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-ANSI-SQL oracle per query (omitted for the genuinely
-    non-SQL-expressible pandas-UDF ops: dedup_simhash, text_rolling_hash)."""
+    """DuckDB-ANSI-SQL oracle per query — every queries() entry is paired
+    (simhash and the rolling-hash fingerprint became oracle-expressible in
+    round 2 via md5-substring hashing + BIGINT bit ops)."""
     return dict(ORACLES)

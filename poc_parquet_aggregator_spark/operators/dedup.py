@@ -48,18 +48,28 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import os
     import zipfile
 
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = "/tmp/poc_parquet_aggregator_spark_pyfiles.zip"
+    # content-addressed zip name: a stale zip from an earlier session would
+    # silently ship outdated module code to the workers
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append((full, os.path.relpath(full, os.path.dirname(pkg_dir))))
+    h = hashlib.md5()
+    for full, rel in sorted(entries, key=lambda e: e[1]):
+        h.update(rel.encode())
+        h.update(open(full, "rb").read())
+    zip_path = f"/tmp/poc_parquet_aggregator_spark_pyfiles-{h.hexdigest()[:12]}.zip"
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full, rel in entries:
+                zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
     ensure_workers_can_import._done = sid
 
