@@ -5,11 +5,11 @@ query: a DataFrame function ``fn(spark, sf_dir)`` paired with an ANSI-SQL
 DuckDB oracle. Collected here into the registries __spark_entry__ exports.
 """
 
-from . import dedup, extended, multimodal, relational, similarity, textstats
+from . import dedup, extended, multimodal, packing, relational, similarity, textstats
 
 QUERIES = {}
 ORACLES = {}
-for _m in (relational, extended, dedup, similarity, textstats, multimodal):
+for _m in (relational, extended, dedup, similarity, textstats, multimodal, packing):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
 

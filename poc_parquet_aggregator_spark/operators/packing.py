@@ -1,0 +1,90 @@
+"""Sequence packing: greedy assignment of variable-length documents into
+fixed-context training examples — the step between a deduped corpus and a
+training dataloader at 10^12-sequence scale.
+
+Distributed form: ONE window cumsum per stream partition (source), pack id
+= floor(start_offset / context). No shuffle beyond the partition sort, no
+per-row Python, and the assignment is deterministic (total order by doc_id)
+so a resumed job reproduces identical packs. Documents are never split:
+a doc whose span crosses a boundary belongs to the pack where it STARTS, so
+a pack may overflow by at most one doc — the standard "document packing
+with overflow" used when attention masks separate docs anyway. The
+fill-ratio output is the measurable packing efficiency.
+
+Reference analog: none (beyond the reference's inventory, like
+operators/extended.py) — this is a training-pipeline extension the graft's
+tokens payload calls for. The driver-table query uses n_chars as the
+length; ``pack_token_examples`` is the engine-side twin over real
+(doc_id, tokens, n_tok, source) tables using n_tok.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .spread import spread
+
+_CTX = 4096  # context budget for the driver-table query
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    start = (
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.col("n_chars")
+    )
+    packed = d.withColumn("pack_id", F.floor(start / F.lit(float(_CTX))))
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("pack_chars"),
+        F.min("doc_id").alias("first_doc"),
+        (F.sum("n_chars") / F.lit(float(_CTX))).alias("fill_ratio"),
+    )
+
+
+ORACLE_PACK = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start
+  FROM documents)
+SELECT source, CAST(floor(start / {_CTX}.0) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS pack_chars,
+       min(doc_id) AS first_doc,
+       CAST(sum(n_chars) AS BIGINT) / {_CTX}.0 AS fill_ratio
+FROM c GROUP BY 1, 2
+"""
+
+
+def pack_token_examples(df: DataFrame, ctx_len: int = 2048) -> DataFrame:
+    """Engine-side packing over a real sequence table
+    (doc_id, tokens, n_tok, source): returns one row per training example
+    with the concatenated token array (flatten of the pack's docs in
+    doc_id order), its length, and the member count. Same window-cumsum
+    assignment as q_pack_sequences; the concat is a JVM flatten of
+    collect_list over the pack — no Python."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    start = (
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - F.col("n_tok")
+    )
+    packed = df.withColumn("pack_id", F.floor(start / F.lit(float(ctx_len))))
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "tokens"))
+                ).tokens
+            ).alias("tokens"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tok"),
+        )
+    )
+
+
+QUERIES = {"pack_sequences": q_pack_sequences}
+ORACLES = {"pack_sequences": ORACLE_PACK}

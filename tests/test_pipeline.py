@@ -320,3 +320,40 @@ def test_jdbc_dimension_seam(spark):
     # local fallback is the broadcastable dim the queries use
     dim = enabled_tag_keys(spark, local=["app", "env"])
     assert [r["key"] for r in dim.collect()] == ["app", "env"]
+
+
+def test_pack_token_examples_invariants(spark):
+    """Packing preserves every token in order per source, never splits a
+    doc, and non-final packs span their context boundary."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.packing import pack_token_examples
+    from poc_parquet_aggregator_spark.sources import generate_token_table
+
+    df = spark.createDataFrame(generate_token_table(500, seed=11).to_pandas())
+    packs = pack_token_examples(df, ctx_len=2048).cache()
+    rows = packs.orderBy("source", "pack_id").collect()
+    # per-pack length bookkeeping
+    assert all(len(r["tokens"]) == r["n_tok"] for r in rows)
+    # order-preserving round trip per source: concat of packs == concat of docs
+    src_tokens = {
+        r["source"]: r["all_toks"]
+        for r in df.groupBy("source")
+        .agg(
+            F.flatten(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tokens"))).tokens
+            ).alias("all_toks")
+        )
+        .collect()
+    }
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).extend(r["tokens"])
+    assert by_src == {k: list(v) for k, v in src_tokens.items()}
+    # non-final packs cross their boundary: cumulative tokens ≥ (pack_id+1)*ctx
+    for src in by_src:
+        cum = 0
+        ps = [r for r in rows if r["source"] == src]
+        for r in ps[:-1]:
+            cum += r["n_tok"]
+            assert cum >= (r["pack_id"] + 1) * 2048

@@ -77,3 +77,4 @@ def test_property_roundtrip(docs):
     f, l = decode_token_chunk(blob)
     assert np.array_equal(f, flat)
     assert np.array_equal(l, lengths)
+
