@@ -25,7 +25,7 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .spread import spread
@@ -102,29 +102,44 @@ FROM documents GROUP BY 1
 
 def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc via JVM-side array ops —
-    explode is the distributed form; no Python in the hot path."""
+    explode is the distributed form; no Python in the hot path.
+
+    The words array MUST be projected to its own column before the gram
+    lambda references it: higher-order-function lambdas re-evaluate
+    captured expressions per element, so an inlined split(lower(regexp))
+    inside slice() re-ran the whole tokenization once per gram — measured
+    4× the cost of the entire shingle stage. A separate Project is kept by
+    CollapseProject (multi-use, non-cheap) and evaluates once per row."""
     words = F.split(F.lower(F.regexp_replace("text", r"\s+", " ")), " ")
+    d2 = d.select("doc_id", words.alias("w"))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
     )
-    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    return d2.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def _capped_shingles(d: DataFrame) -> DataFrame:
-    """Shingles restricted to those appearing in ≤ _MAX_SHINGLE_DF docs.
-    The df rollup and the downstream self-join shuffle on the same key
-    (shingle), so the extra aggregation reuses the exchange. This is the
-    skew guard: a corpus where one shingle appears in k docs would emit
-    O(k^2) candidate pairs without it."""
+    """Shingles restricted to those appearing in ≤ _MAX_SHINGLE_DF docs —
+    the skew guard: a corpus where one shingle appears in k docs would emit
+    O(k^2) candidate pairs without it.
+
+    Plan shape: ONE shuffle on shingle + a window count, instead of an
+    agg + probe join that shuffles the exploded shingles twice and computes
+    them twice (measured ~3× this form's cost). The window's
+    hashpartitioning(shingle) survives the filter, so the downstream
+    shingle self-join (jaccard) re-uses the distribution with no further
+    exchange. Caveat: a pathological shingle's rows buffer in one window
+    group (spill-backed); for corpora where hot shingles exceed executor
+    spill comfort, the alternative is a broadcast LEFT ANTI join against
+    the (Zipf-small) hot-shingle set — same semantics, no buffering."""
     sh = _shingles(d)
-    keep = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("shingle")
+        .select("doc_id", "shingle")
     )
-    return sh.join(keep, "shingle").select("doc_id", "shingle")
 
 
 # shared oracle CTE: distinct 3-gram shingles per doc, hot shingles dropped
