@@ -5,7 +5,7 @@ Commands:
   encode  --input DIR --out DIR [--by-source] [--n-salts K] [--zstd-level L]
           [--cores N]
   decode  --out DIR [--sources a,b] [--doc-id-min X --doc-id-max Y] [--show N]
-  verify  --input DIR --out DIR [--cores N]
+  verify  --input DIR --out DIR [--fraction F] [--cores N]
   stream  --input DIR --out DIR           (AvailableNow incremental encode)
   manifest --out DIR                       (lineage summary)
   compact --out DIR                        (fold manifest JSONs into JSONL segment)
@@ -53,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify")
     v.add_argument("--input", required=True)
     v.add_argument("--out", required=True)
+    v.add_argument("--fraction", type=float, default=1.0)
     v.add_argument("--cores", type=int, default=8)
 
     s = sub.add_parser("stream")
@@ -128,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "verify":
             from .encode import decode_verify
 
-            res = decode_verify(spark, args.input, args.out)
+            res = decode_verify(spark, args.input, args.out, fraction=args.fraction)
             print(json.dumps(res))
             return 0 if res["bit_identical"] else 1
         elif args.cmd == "stream":

@@ -557,16 +557,43 @@ def read_decoded(
     return dec
 
 
-def decode_verify(spark: SparkSession, input_path: str | list[str], out_dir: str) -> dict:
+def decode_verify(
+    spark: SparkSession,
+    input_path: str | list[str],
+    out_dir: str,
+    fraction: float = 1.0,
+) -> dict:
     """Decode every partition, full-outer-join on doc_id against the source,
-    assert bit-identical tokens + n_tok + source. Returns counts."""
+    assert bit-identical tokens + n_tok + source. Returns counts.
+
+    ``fraction`` < 1 verifies a deterministic FILE-level sample (stems with
+    crc32(stem) below the fraction cut): at the 100 TB target a full decode
+    per run is its own 100 TB read, so routine verification samples files —
+    the encoded side prunes to the sampled ``file_stem`` partitions before
+    any IO — while small-scale gates keep fraction=1. Per-file layout only
+    (by-source stems don't map back to input files); at least one file is
+    always verified."""
     files = (
         sorted(input_path)
         if isinstance(input_path, list)
         else sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     )
-    src = spark.read.parquet(*files)
-    dec = read_decoded(spark, out_dir)
+    if fraction < 1.0:
+        if read_layout(out_dir) == "by-source":
+            raise ValueError("sampled verify requires the per-file layout")
+        cut = int(fraction * 1000)
+        sampled = [f for f in files if zlib.crc32(_stem(f).encode()) % 1000 < cut]
+        files = sampled or files[:1]
+        stems = [_stem(f) for f in files]
+        src = spark.read.parquet(*files)
+        dec = (
+            spark.read.parquet(os.path.join(out_dir, "data"))
+            .filter(F.col("file_stem").isin(stems))
+            .mapInArrow(_decode_batches, schema=DECODED_SCHEMA)
+        )
+    else:
+        src = spark.read.parquet(*files)
+        dec = read_decoded(spark, out_dir)
     joined = src.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
     status = joined.select(
         F.when(F.col("s.n_tok").isNull() | F.col("d.n_tok").isNull(), "missing")

@@ -357,3 +357,24 @@ def test_pack_token_examples_invariants(spark):
         for r in ps[:-1]:
             cum += r["n_tok"]
             assert cum >= (r["pack_id"] + 1) * 2048
+
+
+def test_sampled_decode_verify(spark, token_dir, tmp_path):
+    """fraction < 1 verifies a deterministic file-level sample: the decode
+    side prunes to the sampled file_stem partitions and the result is
+    bit-identical over exactly those files' docs."""
+    import zlib
+
+    from poc_parquet_aggregator_spark.encode.pipeline import _stem
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    files = sorted(os.listdir(token_dir))
+    sampled = [f for f in files if zlib.crc32(_stem(f).encode()) % 1000 < 500]
+    expect_docs = sum(
+        spark.read.parquet(os.path.join(token_dir, f)).count() for f in (sampled or files[:1])
+    )
+    res = decode_verify(spark, token_dir, out, fraction=0.5)
+    assert res["bit_identical"]
+    assert res["ok"] == expect_docs
+    assert 0 < expect_docs < N_DOCS or len(sampled) in (0, len(files))
