@@ -31,6 +31,7 @@ import glob
 import json
 import os
 import shutil
+import struct
 import time
 import uuid
 import zlib
@@ -91,9 +92,117 @@ _ENC_ARROW_SCHEMA = pa.schema(
         pa.field("doc_id_blob", pa.large_binary()),
         pa.field("source_blob", pa.large_binary()),
         pa.field("tokens_blob", pa.large_binary()),
+        # extra metadata columns beyond the core schema, as one
+        # self-describing container (see _pack_extras)
+        pa.field("extras_blob", pa.large_binary()),
         pa.field("meta_json", pa.string()),
     ]
 )
+
+# ---------------- extra metadata columns (beyond the core 4-column schema)
+#
+# A real sequence table carries metadata next to the tokens (language id,
+# quality score, crawl timestamp, …). Any column besides the required
+# (doc_id, tokens, n_tok, source) is encoded per its type and rides the
+# chunk row as one self-describing binary container:
+#   u16 n || per column: u8 len(name) | name | u8 kind | u32 len | payload
+# kinds: 1 string (string-codec blob), 2 int32 (int-codec blob),
+# 3 int64 (child(lo int32 blob) + child(hi int32 blob) — the int codecs are
+# 32-bit, so 64-bit values split into two independently-coded planes),
+# 4 float64 (zstd-wrapped raw LE bytes). Extras must be non-null, mirroring
+# the input_hint's non-null schema.
+
+_X_STRING, _X_INT32, _X_INT64, _X_FLOAT64 = 1, 2, 3, 4
+_EXTRA_SPARK_TYPES = {
+    "string": _X_STRING,
+    "integer": _X_INT32,
+    "long": _X_INT64,
+    "double": _X_FLOAT64,
+}
+_U16 = struct.Struct("<H")
+
+
+def _encode_extra_array(arr: "pa.Array", zstd: bool, zstd_level: int) -> tuple[int, bytes, str]:
+    """One extra column chunk → (kind, payload, codec_name)."""
+    from ..codecs.ints import encode_ints_auto
+    from ..codecs.ints import CODEC_NAMES as _ICN
+
+    if arr.null_count:
+        raise ValueError("extra columns must be non-null (matches the core schema)")
+    post = (lambda b: wrap_zstd(b, zstd_level)) if zstd else (lambda b: b)
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        blob, codec = encode_strings_arrow(arr, zstd_post=zstd)
+        return _X_STRING, post(blob), STR_CODEC_NAMES[codec]
+    if pa.types.is_integer(t) and t.bit_width <= 32:
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+        blob, codec = encode_ints_auto(v)
+        return _X_INT32, post(blob), _ICN[codec]
+    if pa.types.is_integer(t):  # 64-bit: two independently-coded 32-bit planes
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        lo = (v & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        hi = (v >> 32).astype(np.int32)
+        lo_blob, lo_c = encode_ints_auto(lo)
+        hi_blob, hi_c = encode_ints_auto(hi)
+        payload = _child(post(lo_blob)) + _child(post(hi_blob))
+        return _X_INT64, payload, f"{_ICN[lo_c]}+{_ICN[hi_c]}"
+    if pa.types.is_float64(t) or pa.types.is_float32(t):
+        raw = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).tobytes()
+        return _X_FLOAT64, wrap_zstd(raw, zstd_level if zstd else 1), "f64_zstd"
+    raise ValueError(f"unsupported extra column type: {t}")
+
+
+def _child(b: bytes) -> bytes:
+    return struct.pack("<I", len(b)) + b
+
+
+def _pack_extras(part: "pa.RecordBatch", names: list[str], zstd: bool, zstd_level: int, meta: dict) -> bytes:
+    out = [_U16.pack(len(names))]
+    for name in names:
+        arr = part.column(part.schema.get_field_index(name))
+        kind, payload, codec = _encode_extra_array(arr, zstd, zstd_level)
+        meta["streams"][f"extra:{name}"] = codec
+        nb = name.encode("utf-8")
+        out.append(bytes([len(nb)]) + nb + bytes([kind]) + struct.pack("<I", len(payload)) + payload)
+    return b"".join(out)
+
+
+def _unpack_extras(blob: bytes) -> list[tuple[str, int, bytes]]:
+    mv = memoryview(blob)
+    (n,) = _U16.unpack_from(mv, 0)
+    pos = 2
+    out = []
+    for _ in range(n):
+        ln = mv[pos]
+        name = bytes(mv[pos + 1 : pos + 1 + ln]).decode("utf-8")
+        kind = mv[pos + 1 + ln]
+        (plen,) = struct.unpack_from("<I", mv, pos + 2 + ln)
+        payload = bytes(mv[pos + 6 + ln : pos + 6 + ln + plen])
+        pos += 6 + ln + plen
+        out.append((name, kind, payload))
+    return out
+
+
+def _decode_extra(kind: int, payload: bytes, n: int):
+    if kind == _X_STRING:
+        return pa.array(decode_strings(unwrap_zstd(payload)), type=pa.string())
+    if kind == _X_INT32:
+        from ..codecs.ints import decode_ints
+
+        return pa.array(decode_ints(unwrap_zstd(payload)), type=pa.int32())
+    if kind == _X_INT64:
+        from ..codecs.ints import decode_ints
+
+        mv = memoryview(payload)
+        (llen,) = struct.unpack_from("<I", mv, 0)
+        lo = decode_ints(unwrap_zstd(bytes(mv[4 : 4 + llen])))
+        (hlen,) = struct.unpack_from("<I", mv, 4 + llen)
+        hi = decode_ints(unwrap_zstd(bytes(mv[8 + llen : 8 + llen + hlen])))
+        v = (hi.astype(np.int64) << 32) | (lo.view(np.uint32).astype(np.int64))
+        return pa.array(v, type=pa.int64())
+    if kind == _X_FLOAT64:
+        return pa.array(np.frombuffer(unwrap_zstd(payload), dtype=np.float64), type=pa.float64())
+    raise ValueError(f"unknown extra kind {kind}")
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -103,6 +212,20 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("source", T.StringType(), False),
     ]
 )
+
+_SPARK_T_OF = {
+    "string": T.StringType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+}
+
+
+def _decoded_schema(extras: list[tuple[str, str]] | None = None) -> T.StructType:
+    return T.StructType(
+        list(DECODED_SCHEMA.fields)
+        + [T.StructField(n, _SPARK_T_OF[t], False) for n, t in (extras or [])]
+    )
 
 
 def _stem(path: str) -> str:
@@ -130,7 +253,9 @@ def _utf8_size(arr: "pa.Array") -> int:
     return int(offsets[-1] - offsets[0])
 
 
-def _encode_chunk_row(part: pa.RecordBatch, zstd: bool, zstd_level: int = 3) -> tuple[dict, dict]:
+def _encode_chunk_row(
+    part: pa.RecordBatch, zstd: bool, zstd_level: int = 3, extras: list[str] | None = None
+) -> tuple[dict, dict]:
     """Encode one Arrow batch → (metadata row dict, codec meta).
 
     The tokens ListArray flattens ZERO-COPY (values buffer + value_lengths);
@@ -162,11 +287,21 @@ def _encode_chunk_row(part: pa.RecordBatch, zstd: bool, zstd_level: int = 3) -> 
         did_blob, src_blob = wrap_zstd(did_blob, zstd_level), wrap_zstd(src_blob, zstd_level)
     meta["streams"]["doc_id"] = STR_CODEC_NAMES[did_codec]
     meta["streams"]["source"] = STR_CODEC_NAMES[src_codec]
+    extras_blob = _pack_extras(part, extras or [], zstd, zstd_level, meta)
+    extra_bytes = 0
+    for name in extras or []:
+        arr = part.column(part.schema.get_field_index(name))
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            extra_bytes += _utf8_size(arr)
+        else:
+            extra_bytes += (arr.type.bit_width // 8) * len(arr)
     did_bytes = _utf8_size(did_arr)
     src_bytes = _utf8_size(src_arr)
-    bytes_in = int(4 * len(flat) + 4 * len(lengths) + did_bytes + src_bytes)
-    bytes_out = len(tokens_blob) + len(did_blob) + len(src_blob)
+    bytes_in = int(4 * len(flat) + 4 * len(lengths) + did_bytes + src_bytes + extra_bytes)
+    bytes_out = len(tokens_blob) + len(did_blob) + len(src_blob) + len(extras_blob)
     crc = zlib.crc32(flat.tobytes()) ^ zlib.crc32(_utf8_payload(did_arr))
+    if extras:
+        crc ^= zlib.crc32(extras_blob)
     import pyarrow.compute as pc
 
     mm = pc.min_max(did_arr).as_py() if len(did_arr) else {"min": "", "max": ""}
@@ -181,6 +316,7 @@ def _encode_chunk_row(part: pa.RecordBatch, zstd: bool, zstd_level: int = 3) -> 
         "doc_id_blob": did_blob,
         "source_blob": src_blob,
         "tokens_blob": tokens_blob,
+        "extras_blob": extras_blob,
         "meta_json": json.dumps(meta["streams"], sort_keys=True),
     }
     return row, meta
@@ -204,7 +340,13 @@ def _split_by_file(batch: pa.RecordBatch, key: str = "_file") -> Iterator[tuple[
         yield str(arr[s]), batch.slice(s, e - s)
 
 
-def _make_encode_fn(staging_dir: str, zstd: bool, zstd_level: int = 3, key: str = "_file"):
+def _make_encode_fn(
+    staging_dir: str,
+    zstd: bool,
+    zstd_level: int = 3,
+    key: str = "_file",
+    extras: list[str] | None = None,
+):
     stem_of = _stem if key == "_file" else (lambda s: s)
 
     def encode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -213,7 +355,7 @@ def _make_encode_fn(staging_dir: str, zstd: bool, zstd_level: int = 3, key: str 
             if batch.num_rows == 0:
                 continue
             for fname, part in _split_by_file(batch, key):
-                row, _ = _encode_chunk_row(part, zstd, zstd_level)
+                row, _ = _encode_chunk_row(part, zstd, zstd_level, extras=extras)
                 per_file.setdefault(stem_of(str(fname)), []).append(row)
         out_rows = []
         for stem, rows in per_file.items():
@@ -261,27 +403,54 @@ _DECODED_ARROW_SCHEMA = pa.schema(
 )
 
 
-def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
-        d = batch.to_pylist()  # a few chunk rows per batch — not hot
-        for row in d:
-            flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
-            doc_ids = decode_strings(unwrap_zstd(bytes(row["doc_id_blob"])))
-            sources = decode_strings(unwrap_zstd(bytes(row["source_blob"])))
-            offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
-            np.cumsum(lengths, out=offsets[1:])
-            tokens = pa.ListArray.from_arrays(  # zero-copy reassembly
-                pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
+def _make_decode_fn(extras: list[tuple[str, str]] | None = None):
+    """Decode kernel; ``extras`` = [(name, spark_type_name)] appended after
+    the core columns (must match what the encode job recorded in layout)."""
+    extras = extras or []
+    arrow_of = {
+        "string": pa.string(), "integer": pa.int32(),
+        "long": pa.int64(), "double": pa.float64(),
+    }
+    schema = pa.schema(
+        list(_DECODED_ARROW_SCHEMA)
+        + [pa.field(n, arrow_of[t]) for n, t in extras]
+    )
+
+    def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            d = batch.to_pylist()  # a few chunk rows per batch — not hot
+            for row in d:
+                flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
+                doc_ids = decode_strings(unwrap_zstd(bytes(row["doc_id_blob"])))
+                sources = decode_strings(unwrap_zstd(bytes(row["source_blob"])))
+                offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offsets[1:])
+                tokens = pa.ListArray.from_arrays(  # zero-copy reassembly
+                    pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+                )
+                cols = [
                     pa.array(doc_ids, type=pa.string()),
                     tokens,
                     pa.array(lengths, type=pa.int32()),
                     pa.array(sources, type=pa.string()),
-                ],
-                schema=_DECODED_ARROW_SCHEMA,
-            )
+                ]
+                if extras:
+                    by_name = {
+                        name: (kind, payload)
+                        for name, kind, payload in _unpack_extras(
+                            bytes(row["extras_blob"])
+                        )
+                    }
+                    for name, _t in extras:
+                        kind, payload = by_name[name]
+                        cols.append(_decode_extra(kind, payload, len(lengths)))
+                yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+    return decode_batches
+
+
+def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    yield from _make_decode_fn()(batches)
 
 
 # ----------------------------------------------------------------- manifest
@@ -367,24 +536,34 @@ def _snapshot_matches(rec: dict, path: str) -> bool:
 _LAYOUT_FILE = "_layout.json"
 
 
-def write_layout(out_dir: str, layout: str) -> None:
-    """Record the physical layout (per-file | by-source) in the manifest dir;
-    read_decoded uses it to decide whether file_stem carries the source
-    prefix (atomic rename, same protocol as every other manifest write)."""
+def write_layout(out_dir: str, layout: str, extras: list[list[str]] | None = None) -> None:
+    """Record the physical layout (per-file | by-source) and the extra
+    metadata columns [(name, spark_type)] in the manifest dir; read_decoded
+    uses the layout to decide whether file_stem carries the source prefix
+    and the extras list to assemble the decoded schema (atomic rename, same
+    protocol as every other manifest write)."""
     mdir = _manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, _LAYOUT_FILE + ".tmp")
     with open(tmp, "w") as f:
-        json.dump({"layout": layout}, f)
+        json.dump({"layout": layout, "extras": extras or []}, f)
     os.rename(tmp, os.path.join(mdir, _LAYOUT_FILE))
 
 
-def read_layout(out_dir: str) -> str | None:
+def _read_layout_record(out_dir: str) -> dict:
     p = os.path.join(_manifest_dir(out_dir), _LAYOUT_FILE)
     if not os.path.exists(p):
-        return None
+        return {}
     with open(p) as f:
-        return json.load(f).get("layout")
+        return json.load(f)
+
+
+def read_layout(out_dir: str) -> str | None:
+    return _read_layout_record(out_dir).get("layout")
+
+
+def read_extras(out_dir: str) -> list[tuple[str, str]]:
+    return [tuple(e) for e in _read_layout_record(out_dir).get("extras", [])]
 
 
 def _commit_file(out_dir: str, staging_dir: str, stem: str, record: dict) -> None:
@@ -445,6 +624,21 @@ def encode_dataset(
         if os.path.exists(staging_dir):
             shutil.rmtree(staging_dir)
         os.makedirs(staging_dir, exist_ok=True)
+        # extra metadata columns beyond the core schema: encoded per type,
+        # recorded in the layout so decode reassembles them
+        core = {"doc_id", "tokens", "n_tok", "source"}
+        probe = spark.read.parquet(todo[0])
+        extras = sorted(
+            (f.name, f.dataType.typeName())
+            for f in probe.schema.fields
+            if f.name not in core
+        )
+        for name, t in extras:
+            if t not in _EXTRA_SPARK_TYPES:
+                raise ValueError(
+                    f"unsupported extra column {name!r} of type {t!r} "
+                    f"(supported: {sorted(_EXTRA_SPARK_TYPES)})"
+                )
         # size input splits to the cluster: Spark's default 128 MB bin-packing
         # would coalesce many small files into a handful of tasks and leave
         # most cores idle. Target ≥2 waves of parallelism.
@@ -455,7 +649,10 @@ def encode_dataset(
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         df = spark.read.parquet(*todo).withColumn("_file", F.input_file_name())
         meta_rows = df.mapInArrow(
-            _make_encode_fn(staging_dir, zstd, zstd_level), schema=META_SCHEMA
+            _make_encode_fn(
+                staging_dir, zstd, zstd_level, extras=[n for n, _ in extras]
+            ),
+            schema=META_SCHEMA,
         ).collect()
         # commit per file (a file may yield several part rows if Spark split it)
         by_stem: dict[str, list] = {}
@@ -493,7 +690,7 @@ def encode_dataset(
             }
             _commit_file(out_dir, staging_dir, stem, rec)
         shutil.rmtree(staging_dir, ignore_errors=True)
-        write_layout(out_dir, "per-file")
+        write_layout(out_dir, "per-file", extras=[list(e) for e in extras])
 
     manifest = read_manifest(out_dir)
     metrics["n_docs"] = sum(r["n_docs"] for r in manifest.values())
@@ -547,7 +744,8 @@ def read_decoded(
     if doc_id_range:
         lo, hi = doc_id_range
         enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
-    dec = enc.mapInArrow(_decode_batches, schema=DECODED_SCHEMA)
+    extras = read_extras(out_dir)
+    dec = enc.mapInArrow(_make_decode_fn(extras), schema=_decoded_schema(extras))
     if sources:
         dec = dec.filter(F.col("source").isin(sources))
     if doc_id_range:
@@ -586,23 +784,30 @@ def decode_verify(
         files = sampled or files[:1]
         stems = [_stem(f) for f in files]
         src = spark.read.parquet(*files)
+        extras = read_extras(out_dir)
         dec = (
             spark.read.parquet(os.path.join(out_dir, "data"))
             .filter(F.col("file_stem").isin(stems))
-            .mapInArrow(_decode_batches, schema=DECODED_SCHEMA)
+            .mapInArrow(_make_decode_fn(extras), schema=_decoded_schema(extras))
         )
     else:
         src = spark.read.parquet(*files)
         dec = read_decoded(spark, out_dir)
     joined = src.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
+    same = (
+        (F.col("s.tokens") == F.col("d.tokens"))
+        & (F.col("s.n_tok") == F.col("d.n_tok"))
+        & (F.col("s.source") == F.col("d.source"))
+    )
+    for name, t in read_extras(out_dir):
+        a, b = F.col(f"s.{name}"), F.col(f"d.{name}")
+        eq = a == b
+        if t == "double":  # NaN round-trips bit-identically but NaN != NaN
+            eq = eq | (F.isnan(a) & F.isnan(b))
+        same = same & eq
     status = joined.select(
         F.when(F.col("s.n_tok").isNull() | F.col("d.n_tok").isNull(), "missing")
-        .when(
-            (F.col("s.tokens") == F.col("d.tokens"))
-            & (F.col("s.n_tok") == F.col("d.n_tok"))
-            & (F.col("s.source") == F.col("d.source")),
-            "ok",
-        )
+        .when(same, "ok")
         .otherwise("mismatch")
         .alias("status")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import (
+    _EXTRA_SPARK_TYPES,
     META_SCHEMA,
     _commit_file,
     _make_encode_fn,
@@ -90,6 +91,13 @@ def encode_dataset_by_source(
     metrics = {"buckets_skipped": len(done)}
 
     df = spark.read.parquet(*files)
+    core = {"doc_id", "tokens", "n_tok", "source"}
+    extras = sorted(
+        (f.name, f.dataType.typeName()) for f in df.schema.fields if f.name not in core
+    )
+    for name, t in extras:
+        if t not in _EXTRA_SPARK_TYPES:
+            raise ValueError(f"unsupported extra column {name!r} of type {t!r}")
     bucket = F.concat(
         F.col("source"),
         F.lit("_s"),
@@ -117,7 +125,10 @@ def encode_dataset_by_source(
             "_bucket", "doc_id"
         )
         meta_rows = shuffled.mapInArrow(
-            _make_encode_fn(staging_dir, zstd, zstd_level, key="_bucket"),
+            _make_encode_fn(
+                staging_dir, zstd, zstd_level, key="_bucket",
+                extras=[n for n, _ in extras],
+            ),
             schema=META_SCHEMA,
         ).collect()
         by_bucket: dict[str, list] = {}
@@ -157,7 +168,7 @@ def encode_dataset_by_source(
                 {"snapshot": snapshot, "n_salts": n_salts, "buckets": all_buckets}, f
             )
         os.rename(tmp, job_path)
-        write_layout(out_dir, "by-source")
+        write_layout(out_dir, "by-source", extras=[list(e) for e in extras])
 
     manifest = read_manifest(out_dir)
     manifest.pop("_job", None)

@@ -378,3 +378,49 @@ def test_sampled_decode_verify(spark, token_dir, tmp_path):
     assert res["bit_identical"]
     assert res["ok"] == expect_docs
     assert 0 < expect_docs < N_DOCS or len(sampled) in (0, len(files))
+
+
+def test_extra_metadata_columns_roundtrip(spark, tmp_path):
+    """Columns beyond the core schema (string / int32 / int64 / double)
+    encode per type, ride the lineage manifest, and decode bit-identically
+    — including through the salted by-source mode and decode_verify's
+    extended comparison."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+    from poc_parquet_aggregator_spark.sources import generate_token_table
+
+    rng = np.random.default_rng(3)
+    base = generate_token_table(3000, seed=7)
+    n = base.num_rows
+    ext = base.append_column(
+        "lang", pa.array(rng.choice(["en", "de", "fr"], n), type=pa.string())
+    ).append_column(
+        "quality", pa.array(rng.random(n), type=pa.float64())
+    ).append_column(
+        "crawl_ts", pa.array(rng.integers(1_500_000_000_000, 1_800_000_000_000, n), type=pa.int64())
+    ).append_column(
+        "n_lines", pa.array(rng.integers(0, 500, n), type=pa.int32())
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(ext.slice(0, 1500), f"{src}/tokens-000000000000.parquet", compression="zstd")
+    pq.write_table(ext.slice(1500), f"{src}/tokens-000000001500.parquet", compression="zstd")
+
+    out = str(tmp_path / "enc")
+    m = encode_dataset(spark, src, out)
+    assert m["files_encoded"] == 2
+    res = decode_verify(spark, src, out)
+    assert res["bit_identical"], res
+    dec = read_decoded(spark, out)
+    assert set(dec.columns) == {"doc_id", "tokens", "n_tok", "source",
+                                "lang", "quality", "crawl_ts", "n_lines"}
+    # per-stream codec lineage includes the extras
+    rec = next(iter(read_manifest(out).values()))
+    assert any(k.startswith("extra:lang") for k in rec["codecs"])
+    # salted mode carries extras too
+    out2 = str(tmp_path / "enc_salted")
+    encode_dataset_by_source(spark, src, out2, n_salts=2)
+    assert decode_verify(spark, src, out2)["bit_identical"]
