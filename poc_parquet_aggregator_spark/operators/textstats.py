@@ -210,12 +210,48 @@ FROM documents
 """
 
 
+
+
+# ───────────────────── vocabulary histogram / top-k ─────────────────────────
+
+
+def q_text_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary frequencies, top-20: explode tokens (with
+    multiplicity) → count per word (map-side partial agg) → distributed
+    TakeOrdered via orderBy+limit, then a rank window over only the
+    surviving 20 rows. Total tiebreak (count desc, word asc) keeps the
+    result deterministic. The building block of frequency-based vocab
+    pruning in a training pipeline; at 100 TB the only full shuffle is
+    word-keyed and pre-aggregated."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf)
+    counts = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "word").limit(20)
+    w = Window.orderBy(F.desc("n"), "word")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+ORACLE_VOCAB_TOPK = f"""
+WITH toks AS (SELECT unnest({_duck_words()}) AS word FROM documents),
+counts AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM counts)
+SELECT word, n, rank FROM ranked WHERE rank <= 20
+"""
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_token_count": q_text_token_count,
     "text_fingerprint": q_text_fingerprint,
     "text_rolling_hash": q_text_rolling_hash,
+    "text_vocab_topk": q_text_vocab_topk,
 }
 
 ORACLES = {
@@ -224,4 +260,5 @@ ORACLES = {
     "text_token_count": ORACLE_TOKEN_COUNT,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_rolling_hash": ORACLE_ROLLING_HASH,
+    "text_vocab_topk": ORACLE_VOCAB_TOPK,
 }
