@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 from ..codecs.ints import unwrap_zstd, wrap_zstd
 from ..codecs.strings import STR_CODEC_NAMES, decode_strings, encode_strings_arrow
-from .chunk import decode_token_chunk, encode_token_chunk
+from .chunk import decode_chunk_lengths, decode_token_chunk, encode_token_chunk
 
 META_SCHEMA = T.StructType(
     [
@@ -221,11 +221,16 @@ _SPARK_T_OF = {
 }
 
 
-def _decoded_schema(extras: list[tuple[str, str]] | None = None) -> T.StructType:
-    return T.StructType(
-        list(DECODED_SCHEMA.fields)
-        + [T.StructField(n, _SPARK_T_OF[t], False) for n, t in (extras or [])]
-    )
+def _decoded_schema(
+    extras: list[tuple[str, str]] | None = None,
+    columns: list[str] | None = None,
+) -> T.StructType:
+    fields = list(DECODED_SCHEMA.fields) + [
+        T.StructField(n, _SPARK_T_OF[t], False) for n, t in (extras or [])
+    ]
+    if columns is not None:
+        fields = [f for f in fields if f.name in set(columns)]
+    return T.StructType(fields)
 
 
 def _stem(path: str) -> str:
@@ -403,48 +408,77 @@ _DECODED_ARROW_SCHEMA = pa.schema(
 )
 
 
-def _make_decode_fn(extras: list[tuple[str, str]] | None = None):
+_ARROW_OF = {
+    "string": pa.string(), "integer": pa.int32(),
+    "long": pa.int64(), "double": pa.float64(),
+}
+
+
+def _decode_cols(extras: list[tuple[str, str]] | None = None) -> list[tuple[str, "pa.DataType"]]:
+    return [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ] + [(n, _ARROW_OF[t]) for n, t in (extras or [])]
+
+
+def _make_decode_fn(
+    extras: list[tuple[str, str]] | None = None,
+    columns: list[str] | None = None,
+):
     """Decode kernel; ``extras`` = [(name, spark_type_name)] appended after
-    the core columns (must match what the encode job recorded in layout)."""
+    the core columns (must match what the encode job recorded in layout).
+    ``columns`` projects the decode itself: blobs of unselected columns are
+    never parsed (n_tok without tokens reads only the lengths stream —
+    decode_chunk_lengths)."""
     extras = extras or []
-    arrow_of = {
-        "string": pa.string(), "integer": pa.int32(),
-        "long": pa.int64(), "double": pa.float64(),
-    }
-    schema = pa.schema(
-        list(_DECODED_ARROW_SCHEMA)
-        + [pa.field(n, arrow_of[t]) for n, t in extras]
-    )
+    all_cols = _decode_cols(extras)
+    sel = [c for c, _ in all_cols] if columns is None else list(columns)
+    schema = pa.schema([pa.field(n, t) for n, t in all_cols if n in sel])
+    want = set(sel)
+    want_extras = [(n, t) for n, t in extras if n in want]
 
     def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pylist()  # a few chunk rows per batch — not hot
             for row in d:
-                flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
-                doc_ids = decode_strings(unwrap_zstd(bytes(row["doc_id_blob"])))
-                sources = decode_strings(unwrap_zstd(bytes(row["source_blob"])))
-                offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
-                np.cumsum(lengths, out=offsets[1:])
-                tokens = pa.ListArray.from_arrays(  # zero-copy reassembly
-                    pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
-                )
-                cols = [
-                    pa.array(doc_ids, type=pa.string()),
-                    tokens,
-                    pa.array(lengths, type=pa.int32()),
-                    pa.array(sources, type=pa.string()),
-                ]
-                if extras:
+                out: dict[str, pa.Array] = {}
+                if "tokens" in want:
+                    flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
+                    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+                    np.cumsum(lengths, out=offsets[1:])
+                    out["tokens"] = pa.ListArray.from_arrays(  # zero-copy
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(flat, type=pa.int32()),
+                    )
+                    out["n_tok"] = pa.array(lengths, type=pa.int32())
+                elif "n_tok" in want:
+                    lengths = decode_chunk_lengths(bytes(row["tokens_blob"]))
+                    out["n_tok"] = pa.array(lengths, type=pa.int32())
+                if "doc_id" in want:
+                    out["doc_id"] = pa.array(
+                        decode_strings(unwrap_zstd(bytes(row["doc_id_blob"]))),
+                        type=pa.string(),
+                    )
+                if "source" in want:
+                    out["source"] = pa.array(
+                        decode_strings(unwrap_zstd(bytes(row["source_blob"]))),
+                        type=pa.string(),
+                    )
+                if want_extras:
                     by_name = {
                         name: (kind, payload)
                         for name, kind, payload in _unpack_extras(
                             bytes(row["extras_blob"])
                         )
                     }
-                    for name, _t in extras:
+                    for name, _t in want_extras:
                         kind, payload = by_name[name]
-                        cols.append(_decode_extra(kind, payload, len(lengths)))
-                yield pa.RecordBatch.from_arrays(cols, schema=schema)
+                        out[name] = _decode_extra(kind, payload, 0)
+                yield pa.RecordBatch.from_arrays(
+                    [out[f.name] for f in schema], schema=schema
+                )
 
     return decode_batches
 
@@ -718,6 +752,7 @@ def read_decoded(
     out_dir: str,
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Read the encoded table back as (doc_id, tokens, n_tok, source).
 
@@ -745,13 +780,45 @@ def read_decoded(
         lo, hi = doc_id_range
         enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
     extras = read_extras(out_dir)
-    dec = enc.mapInArrow(_make_decode_fn(extras), schema=_decoded_schema(extras))
+    all_names = [f.name for f in _decoded_schema(extras).fields]
+    if columns is None:
+        sel = all_names
+    else:
+        unknown = set(columns) - set(all_names)
+        if unknown:
+            raise ValueError(f"unknown columns: {sorted(unknown)}")
+        sel = [c for c in all_names if c in set(columns)]
+    # filters applied post-decode need their columns decoded; drop them after
+    need = set(sel)
+    if sources:
+        need.add("source")
+    if doc_id_range:
+        need.add("doc_id")
+    dec_cols = [c for c in all_names if c in need]
+    # prune the PARQUET SCAN to only the blobs the projection decodes —
+    # unselected blob columns are never read off disk, let alone parsed
+    blob_need = []
+    if {"tokens", "n_tok"} & need:
+        blob_need.append("tokens_blob")
+    if "doc_id" in need:
+        blob_need.append("doc_id_blob")
+    if "source" in need:
+        blob_need.append("source_blob")
+    if any(n in need for n, _t in extras):
+        blob_need.append("extras_blob")
+    enc = enc.select(*blob_need)
+    dec = enc.mapInArrow(
+        _make_decode_fn(extras, columns=dec_cols),
+        schema=_decoded_schema(extras, columns=dec_cols),
+    )
     if sources:
         dec = dec.filter(F.col("source").isin(sources))
     if doc_id_range:
         dec = dec.filter(
             (F.col("doc_id") >= doc_id_range[0]) & (F.col("doc_id") <= doc_id_range[1])
         )
+    if sel != dec_cols:
+        dec = dec.select(*sel)
     return dec
 
 

@@ -424,3 +424,39 @@ def test_extra_metadata_columns_roundtrip(spark, tmp_path):
     out2 = str(tmp_path / "enc_salted")
     encode_dataset_by_source(spark, src, out2, n_salts=2)
     assert decode_verify(spark, src, out2)["bit_identical"]
+
+
+def test_column_pruned_decode(spark, token_dir, tmp_path):
+    """read_decoded(columns=...) decodes only the selected columns: results
+    match the full decode's projection, the lengths-only path (n_tok
+    without tokens) agrees, and the parquet scan reads only the needed
+    blob columns."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    full = read_decoded(spark, out)
+
+    ntok = read_decoded(spark, out, columns=["doc_id", "n_tok"])
+    assert ntok.columns == ["doc_id", "n_tok"]
+    a = {r["doc_id"]: r["n_tok"] for r in ntok.collect()}
+    b = {r["doc_id"]: r["n_tok"] for r in full.select("doc_id", "n_tok").collect()}
+    assert a == b
+    # scan pruning: tokens/source blobs never read for this projection
+    plan = ntok._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas and all(
+        "source_blob" not in rs and "extras_blob" not in rs for rs in read_schemas
+    ), read_schemas
+
+    # sources filter with a projection that drops source afterwards
+    only = read_decoded(spark, out, sources=["src00"], columns=["doc_id"])
+    assert only.columns == ["doc_id"]
+    assert only.count() == full.filter(F.col("source") == "src00").count()
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_decoded(spark, out, columns=["nope"])
