@@ -311,3 +311,60 @@ def decode_strings(blob: bytes) -> list[str]:
             for i in range(n)
         ]
     raise ValueError(f"unknown string codec {codec_id}")
+
+
+def decode_strings_arrow(blob: bytes) -> "object":
+    """Decode a string chunk directly to a pyarrow StringArray — the
+    decode-side twin of encode_strings_arrow: the utf-8 payload and offsets
+    become Arrow buffers with ZERO per-row PyUnicode objects (the encode
+    side's measured TLB-storm applies symmetrically on read-back).
+    STR_PLAIN builds from buffers; STR_DICT decodes the (small) dictionary
+    then materializes via C++ take; FSST decodes per-string payloads (the
+    symbol scan is per-string by format) but still assembles the result
+    from one concatenated buffer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if blob[0] == ZSTD:
+        return decode_strings_arrow(unwrap_zstd(blob))
+    codec_id = blob[0]
+    body = memoryview(blob)[1:]
+
+    def _from_payload(payload: bytes, lens: np.ndarray, n: int) -> "pa.Array":
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        return pa.Array.from_buffers(
+            pa.utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(payload)]
+        )
+
+    if codec_id == STR_PLAIN:
+        (n,) = _U32.unpack_from(body, 0)
+        (llen,) = _U32.unpack_from(body, 4)
+        lens = decode_ints(bytes(body[8 : 8 + llen]))
+        return _from_payload(bytes(body[8 + llen :]), lens, n)
+    if codec_id == STR_DICT:
+        (n,) = _U32.unpack_from(body, 0)
+        (dlen,) = _U32.unpack_from(body, 4)
+        uniq = decode_strings_arrow(bytes(body[8 : 8 + dlen]))
+        (clen,) = _U32.unpack_from(body, 8 + dlen)
+        codes = decode_ints(bytes(body[12 + dlen : 12 + dlen + clen]))
+        return pc.take(uniq, pa.array(codes, type=pa.int32()))
+    if codec_id == FSST:
+        (n,) = _U32.unpack_from(body, 0)
+        n_sym = body[4]
+        (slen,) = _U32.unpack_from(body, 5)
+        sym_raw = bytes(body[9 : 9 + slen])
+        table, i = [], 0
+        for _ in range(n_sym):
+            ln = sym_raw[i]
+            table.append(sym_raw[i + 1 : i + 1 + ln])
+            i += 1 + ln
+        (ellen,) = _U32.unpack_from(body, 9 + slen)
+        enc_lens = decode_ints(bytes(body[13 + slen : 13 + slen + ellen]))
+        enc = bytes(body[13 + slen + ellen :])
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(enc_lens, out=offs[1:])
+        pieces = [_fsst_decode_payload(enc[offs[i] : offs[i + 1]], table) for i in range(n)]
+        lens = np.fromiter((len(p) for p in pieces), dtype=np.int32, count=n)
+        return _from_payload(b"".join(pieces), lens, n)
+    raise ValueError(f"unknown string codec {codec_id}")

@@ -46,7 +46,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codecs.ints import unwrap_zstd, wrap_zstd
-from ..codecs.strings import STR_CODEC_NAMES, decode_strings, encode_strings_arrow
+from ..codecs.strings import (
+    STR_CODEC_NAMES,
+    decode_strings_arrow,
+    encode_strings_arrow,
+)
 from .chunk import decode_chunk_lengths, decode_token_chunk, encode_token_chunk
 
 META_SCHEMA = T.StructType(
@@ -185,7 +189,7 @@ def _unpack_extras(blob: bytes) -> list[tuple[str, int, bytes]]:
 
 def _decode_extra(kind: int, payload: bytes, n: int):
     if kind == _X_STRING:
-        return pa.array(decode_strings(unwrap_zstd(payload)), type=pa.string())
+        return decode_strings_arrow(unwrap_zstd(payload))
     if kind == _X_INT32:
         from ..codecs.ints import decode_ints
 
@@ -457,15 +461,9 @@ def _make_decode_fn(
                     lengths = decode_chunk_lengths(bytes(row["tokens_blob"]))
                     out["n_tok"] = pa.array(lengths, type=pa.int32())
                 if "doc_id" in want:
-                    out["doc_id"] = pa.array(
-                        decode_strings(unwrap_zstd(bytes(row["doc_id_blob"]))),
-                        type=pa.string(),
-                    )
+                    out["doc_id"] = decode_strings_arrow(bytes(row["doc_id_blob"]))
                 if "source" in want:
-                    out["source"] = pa.array(
-                        decode_strings(unwrap_zstd(bytes(row["source_blob"]))),
-                        type=pa.string(),
-                    )
+                    out["source"] = decode_strings_arrow(bytes(row["source_blob"]))
                 if want_extras:
                     by_name = {
                         name: (kind, payload)
