@@ -4,7 +4,8 @@ Commands:
   gen     --out DIR --docs N [--docs-per-file K] [--seed S]
   encode  --input DIR --out DIR [--by-source] [--n-salts K] [--zstd-level L]
           [--cores N]
-  decode  --out DIR [--sources a,b] [--doc-id-min X --doc-id-max Y] [--show N]
+  decode  --out DIR [--sources a,b] [--doc-id-min X --doc-id-max Y]
+          [--columns a,b] [--show N]
   verify  --input DIR --out DIR [--fraction F] [--cores N]
   stream  --input DIR --out DIR           (AvailableNow incremental encode)
   manifest --out DIR                       (lineage summary)
@@ -47,6 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--sources")
     d.add_argument("--doc-id-min")
     d.add_argument("--doc-id-max")
+    d.add_argument("--columns", help="comma-separated projection (pruned decode)")
     d.add_argument("--show", type=int, default=5)
     d.add_argument("--cores", type=int, default=8)
 
@@ -122,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
                 if args.doc_id_min and args.doc_id_max
                 else None
             )
-            df = read_decoded(spark, args.out, sources=sources, doc_id_range=rng)
+            cols = args.columns.split(",") if args.columns else None
+            df = read_decoded(
+                spark, args.out, sources=sources, doc_id_range=rng, columns=cols
+            )
             print(json.dumps({"rows": df.count()}))
             if args.show:
                 df.show(args.show, truncate=60)
