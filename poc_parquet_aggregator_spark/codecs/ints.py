@@ -28,6 +28,7 @@ FOR = 2  # frame-of-reference + bit-pack
 RLE = 3  # run-length: child blobs for run values + run lengths
 DICT = 4  # dictionary: child blobs for dict values + codes
 ZSTD = 5  # transparent post-pass wrapper around any blob
+DELTA = 6  # successive differences (uint32 wraparound), child blob for deltas
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -36,6 +37,7 @@ CODEC_NAMES = {
     RLE: "rle",
     DICT: "dict",
     ZSTD: "zstd",
+    DELTA: "delta",
 }
 
 _U32 = struct.Struct("<I")
@@ -225,6 +227,28 @@ def _enc_rle(a: np.ndarray, value_codec: int | None = None) -> bytes:
     return bytes([RLE]) + _U32.pack(len(a)) + _child(val_blob) + _child(len_blob)
 
 
+def _wrap_deltas(a: np.ndarray) -> np.ndarray:
+    """Successive differences in uint32 wraparound arithmetic (d[0] = a[0]);
+    exactly invertible by a wraparound cumsum for any int32 input."""
+    u = np.ascontiguousarray(a, dtype=np.int32).view(np.uint32)
+    d = np.empty(len(a), dtype=np.uint32)
+    if len(a):
+        d[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=d[1:])
+    return d.view(np.int32)
+
+
+def _enc_delta(a: np.ndarray) -> bytes:
+    """Delta: sorted / slowly-varying streams (timestamps, monotone ids)
+    become tiny-span deltas that FOR bit-packs in a few bits, and
+    constant-step streams become constant deltas that RLE collapses. The
+    delta stream rides the same auto-selected child machinery as every
+    other composite codec (one level — no delta-of-delta)."""
+    d = _wrap_deltas(a)
+    child = encode_ints_best(d)
+    return bytes([DELTA]) + _U32.pack(len(a)) + child
+
+
 def _enc_dict(a: np.ndarray) -> bytes:
     uniq, codes = np.unique(a, return_inverse=True)
     dict_blob = _enc_for(uniq.astype(np.int32))
@@ -245,6 +269,8 @@ def encode_ints(a: np.ndarray, codec_id: int) -> bytes:
         return _enc_rle(a)
     if codec_id == DICT:
         return _enc_dict(a)
+    if codec_id == DELTA:
+        return _enc_delta(a)
     raise ValueError(f"unknown codec id {codec_id}")
 
 
@@ -296,6 +322,15 @@ def decode_ints(blob: bytes) -> np.ndarray:
         codes = decode_ints(bytes(body[12 + dlen : 12 + dlen + clen]))
         assert len(codes) == n
         return uniq[codes]
+    if codec_id == DELTA:
+        (n,) = _U32.unpack_from(body, 0)
+        d = decode_ints(bytes(body[4:]))
+        assert len(d) == n
+        # wraparound cumsum: uint64 accumulate then truncate — exact inverse
+        # (n·2^32 < 2^64 for any realistic chunk)
+        return (np.cumsum(d.view(np.uint32), dtype=np.uint64) & 0xFFFFFFFF).astype(
+            np.uint32
+        ).view(np.int32)
     raise ValueError(f"unknown codec id {codec_id}")
 
 
@@ -305,7 +340,7 @@ def decode_ints(blob: bytes) -> np.ndarray:
 _DISTINCT_SAMPLE = 262_144
 
 
-def int_stats(a: np.ndarray) -> dict:
+def int_stats(a: np.ndarray, with_delta: bool = False) -> dict:
     """Chunk statistics driving codec selection (north rule: cardinality /
     run-length / value-range). min/max/runs are exact single passes;
     distinct count switches to a deterministic stride sample above 256k
@@ -315,7 +350,10 @@ def int_stats(a: np.ndarray) -> dict:
     deterministic for resume."""
     n = len(a)
     if n == 0:
-        return {"n": 0, "min": 0, "max": 0, "n_distinct": 0, "n_runs": 0}
+        out = {"n": 0, "min": 0, "max": 0, "n_distinct": 0, "n_runs": 0}
+        if with_delta:
+            out["delta"] = dict(out)
+        return out
     n_runs = 1 + int(np.count_nonzero(a[1:] != a[:-1]))
     if n <= _DISTINCT_SAMPLE:
         n_distinct = len(np.unique(a))
@@ -324,13 +362,17 @@ def int_stats(a: np.ndarray) -> dict:
         d_s = len(np.unique(a[::stride]))
         # scale toward n conservatively: distinct can't exceed n or be below d_s
         n_distinct = min(n, max(d_s, int(d_s * (n / (n // stride + 1)) ** 0.5)))
-    return {
+    out = {
         "n": n,
         "min": int(a.min()),
         "max": int(a.max()),
         "n_distinct": n_distinct,
         "n_runs": n_runs,
     }
+    if with_delta:
+        # stats of the delta stream drive the DELTA estimate; one level only
+        out["delta"] = int_stats(_wrap_deltas(a))
+    return out
 
 
 def estimate_sizes(stats: dict) -> dict[int, int]:
@@ -360,6 +402,11 @@ def estimate_sizes(stats: dict) -> dict[int, int]:
     }
     # BITPACK packs [0, max] (ref fixed at 0), not [min, max]
     sizes[BITPACK] = for_size(n, hi) if lo >= 0 else sizes[PLAIN]
+    if "delta" in stats:
+        # DELTA = header + best child over the delta stream (same argmin the
+        # encoder takes, so the estimate stays exact)
+        child = estimate_sizes(stats["delta"])
+        sizes[DELTA] = 1 + 4 + min(child.values())
     return sizes
 
 
@@ -374,8 +421,9 @@ def encode_ints_best(a: np.ndarray, allow_rle: bool = True) -> bytes:
 
 
 def encode_ints_auto(a: np.ndarray) -> tuple[bytes, int]:
-    """(blob, codec_id) with the auto-selected codec."""
-    stats = int_stats(a)
+    """(blob, codec_id) with the auto-selected codec (DELTA considered at
+    this top level only — children never nest delta-of-delta)."""
+    stats = int_stats(a, with_delta=True)
     sizes = estimate_sizes(stats)
     best = min(sizes, key=sizes.get)
     return encode_ints(a, best), best

@@ -22,7 +22,7 @@ from poc_parquet_aggregator_spark.codecs import (
 from poc_parquet_aggregator_spark.codecs import ints as CI
 from poc_parquet_aggregator_spark.codecs import strings as CS
 
-ALL_INT_CODECS = [CI.PLAIN, CI.BITPACK, CI.FOR, CI.RLE, CI.DICT]
+ALL_INT_CODECS = [CI.PLAIN, CI.BITPACK, CI.FOR, CI.RLE, CI.DICT, CI.DELTA]
 ALL_STR_CODECS = [CS.STR_PLAIN, CS.STR_DICT, CS.FSST]
 
 ADVERSARIAL = {
@@ -68,7 +68,7 @@ def test_estimates_are_exact():
     """The selector's size estimates equal actual encoded sizes — making
     argmin selection provably optimal within the family."""
     for name, a in ADVERSARIAL.items():
-        stats = int_stats(a)
+        stats = int_stats(a, with_delta=True)
         est = estimate_sizes(stats)
         for codec in ALL_INT_CODECS:
             actual = len(encode_ints(a, codec))
@@ -77,6 +77,11 @@ def test_estimates_are_exact():
             if codec == CI.RLE:
                 # RLE child value codec is itself auto-selected; estimate
                 # assumes FOR child → actual may only be smaller
+                assert actual <= est[codec] + 16, (name, CODEC_NAMES[codec])
+            elif codec == CI.DELTA:
+                # DELTA estimate = header + argmin of the delta stream's
+                # child estimates; when RLE wins inside, the child's own
+                # conservative (upper-bound) estimate carries over
                 assert actual <= est[codec] + 16, (name, CODEC_NAMES[codec])
             else:
                 assert actual == est[codec], (name, CODEC_NAMES[codec])

@@ -403,6 +403,8 @@ def test_extra_metadata_columns_roundtrip(spark, tmp_path):
         "crawl_ts", pa.array(rng.integers(1_500_000_000_000, 1_800_000_000_000, n), type=pa.int64())
     ).append_column(
         "n_lines", pa.array(rng.integers(0, 500, n), type=pa.int32())
+    ).append_column(
+        "seq", pa.array(np.arange(n, dtype=np.int32) * 3 + 10, type=pa.int32())
     )
     src = str(tmp_path / "src")
     os.makedirs(src)
@@ -416,10 +418,12 @@ def test_extra_metadata_columns_roundtrip(spark, tmp_path):
     assert res["bit_identical"], res
     dec = read_decoded(spark, out)
     assert set(dec.columns) == {"doc_id", "tokens", "n_tok", "source",
-                                "lang", "quality", "crawl_ts", "n_lines"}
-    # per-stream codec lineage includes the extras
+                                "lang", "quality", "crawl_ts", "n_lines", "seq"}
+    # per-stream codec lineage includes the extras; the monotone int column
+    # must select the DELTA codec (constant-step stream → tiny delta child)
     rec = next(iter(read_manifest(out).values()))
     assert any(k.startswith("extra:lang") for k in rec["codecs"])
+    assert any(k == "extra:seq:delta" for k in rec["codecs"]), rec["codecs"]
     # salted mode carries extras too
     out2 = str(tmp_path / "enc_salted")
     encode_dataset_by_source(spark, src, out2, n_salts=2)
