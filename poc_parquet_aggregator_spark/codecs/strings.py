@@ -331,10 +331,16 @@ def decode_strings_arrow(blob: bytes) -> "object":
     body = memoryview(blob)[1:]
 
     def _from_payload(payload: bytes, lens: np.ndarray, n: int) -> "pa.Array":
-        offs = np.zeros(n + 1, dtype=np.int32)
+        offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
+        if offs[-1] > np.iinfo(np.int32).max:  # ≥2 GiB payload: 64-bit offsets
+            return pa.Array.from_buffers(
+                pa.large_utf8(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(payload)],
+            )
         return pa.Array.from_buffers(
-            pa.utf8(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(payload)]
+            pa.utf8(), n,
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(payload)],
         )
 
     if codec_id == STR_PLAIN:

@@ -138,11 +138,18 @@ def _encode_extra_array(arr: "pa.Array", zstd: bool, zstd_level: int) -> tuple[i
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         blob, codec = encode_strings_arrow(arr, zstd_post=zstd)
         return _X_STRING, post(blob), STR_CODEC_NAMES[codec]
-    if pa.types.is_integer(t) and t.bit_width <= 32:
+    # int32 path only for values that FIT int32: signed ≤32 bits or unsigned
+    # ≤16 bits. uint32 would silently wrap in an int32 astype → 64-bit path.
+    fits_i32 = pa.types.is_integer(t) and (
+        t.bit_width <= 16 or (t.bit_width == 32 and pa.types.is_signed_integer(t))
+    )
+    if fits_i32:
         v = arr.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
         blob, codec = encode_ints_auto(v)
         return _X_INT32, post(blob), _ICN[codec]
-    if pa.types.is_integer(t):  # 64-bit: two independently-coded 32-bit planes
+    if pa.types.is_integer(t):  # 64-bit (and uint32): two 32-bit planes
+        if t.bit_width == 64 and not pa.types.is_signed_integer(t):
+            raise ValueError("uint64 extras unsupported (values may exceed int64)")
         v = arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         lo = (v & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
         hi = (v >> 32).astype(np.int32)
@@ -151,8 +158,14 @@ def _encode_extra_array(arr: "pa.Array", zstd: bool, zstd_level: int) -> tuple[i
         payload = _child(post(lo_blob)) + _child(post(hi_blob))
         return _X_INT64, payload, f"{_ICN[lo_c]}+{_ICN[hi_c]}"
     if pa.types.is_float64(t) or pa.types.is_float32(t):
+        # self-describing container (flag byte): raw float bytes are
+        # arbitrary, so an unwrapped incompressible stream starting with the
+        # ZSTD codec id would misparse if fed through unwrap_zstd
         raw = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).tobytes()
-        return _X_FLOAT64, wrap_zstd(raw, zstd_level if zstd else 1), "f64_zstd"
+        z = wrap_zstd(raw, zstd_level if zstd else 1)
+        if z is raw or z == raw:  # incompressible: wrap_zstd returned input
+            return _X_FLOAT64, b"\x00" + raw, "f64_raw"
+        return _X_FLOAT64, b"\x01" + z, "f64_zstd"
     raise ValueError(f"unsupported extra column type: {t}")
 
 
@@ -160,15 +173,31 @@ def _child(b: bytes) -> bytes:
     return struct.pack("<I", len(b)) + b
 
 
-def _pack_extras(part: "pa.RecordBatch", names: list[str], zstd: bool, zstd_level: int, meta: dict) -> bytes:
+def _pack_extras(
+    part: "pa.RecordBatch", names: list[str], zstd: bool, zstd_level: int, meta: dict
+) -> tuple[bytes, int]:
+    """(container blob, raw input byte count) for the extra columns."""
     out = [_U16.pack(len(names))]
+    raw_bytes = 0
     for name in names:
-        arr = part.column(part.schema.get_field_index(name))
+        idx = part.schema.get_field_index(name)
+        if idx < 0:  # column(-1) would silently return the LAST column
+            raise ValueError(
+                f"extra column {name!r} missing from an input batch — "
+                "heterogeneous input schemas are not supported"
+            )
+        arr = part.column(idx)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            raw_bytes += _utf8_size(arr)
+        else:
+            raw_bytes += (arr.type.bit_width // 8) * len(arr)
         kind, payload, codec = _encode_extra_array(arr, zstd, zstd_level)
         meta["streams"][f"extra:{name}"] = codec
         nb = name.encode("utf-8")
-        out.append(bytes([len(nb)]) + nb + bytes([kind]) + struct.pack("<I", len(payload)) + payload)
-    return b"".join(out)
+        out.append(
+            bytes([len(nb)]) + nb + bytes([kind]) + struct.pack("<I", len(payload)) + payload
+        )
+    return b"".join(out), raw_bytes
 
 
 def _unpack_extras(blob: bytes) -> list[tuple[str, int, bytes]]:
@@ -205,7 +234,8 @@ def _decode_extra(kind: int, payload: bytes, n: int):
         v = (hi.astype(np.int64) << 32) | (lo.view(np.uint32).astype(np.int64))
         return pa.array(v, type=pa.int64())
     if kind == _X_FLOAT64:
-        return pa.array(np.frombuffer(unwrap_zstd(payload), dtype=np.float64), type=pa.float64())
+        raw = payload[1:] if payload[0] == 0 else unwrap_zstd(payload[1:])
+        return pa.array(np.frombuffer(raw, dtype=np.float64), type=pa.float64())
     raise ValueError(f"unknown extra kind {kind}")
 
 DECODED_SCHEMA = T.StructType(
@@ -296,14 +326,7 @@ def _encode_chunk_row(
         did_blob, src_blob = wrap_zstd(did_blob, zstd_level), wrap_zstd(src_blob, zstd_level)
     meta["streams"]["doc_id"] = STR_CODEC_NAMES[did_codec]
     meta["streams"]["source"] = STR_CODEC_NAMES[src_codec]
-    extras_blob = _pack_extras(part, extras or [], zstd, zstd_level, meta)
-    extra_bytes = 0
-    for name in extras or []:
-        arr = part.column(part.schema.get_field_index(name))
-        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-            extra_bytes += _utf8_size(arr)
-        else:
-            extra_bytes += (arr.type.bit_width // 8) * len(arr)
+    extras_blob, extra_bytes = _pack_extras(part, extras or [], zstd, zstd_level, meta)
     did_bytes = _utf8_size(did_arr)
     src_bytes = _utf8_size(src_arr)
     bytes_in = int(4 * len(flat) + 4 * len(lengths) + did_bytes + src_bytes + extra_bytes)
@@ -400,16 +423,6 @@ def _make_encode_fn(
             yield pa.RecordBatch.from_pylist(out_rows, schema=_META_ARROW_SCHEMA)
 
     return encode_batches
-
-
-_DECODED_ARROW_SCHEMA = pa.schema(
-    [
-        pa.field("doc_id", pa.string()),
-        pa.field("tokens", pa.list_(pa.int32())),
-        pa.field("n_tok", pa.int32()),
-        pa.field("source", pa.string()),
-    ]
-)
 
 
 _ARROW_OF = {
@@ -679,6 +692,10 @@ def encode_dataset(
         split = max(total_bytes // (2 * par) + 1, 1 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        # layout/extras are input-derived, not completion-derived: record
+        # them BEFORE the commits so a crash after the last commit but
+        # before the layout write can't leave extras permanently undecodable
+        write_layout(out_dir, "per-file", extras=[list(e) for e in extras])
         df = spark.read.parquet(*todo).withColumn("_file", F.input_file_name())
         meta_rows = df.mapInArrow(
             _make_encode_fn(
@@ -722,7 +739,6 @@ def encode_dataset(
             }
             _commit_file(out_dir, staging_dir, stem, rec)
         shutil.rmtree(staging_dir, ignore_errors=True)
-        write_layout(out_dir, "per-file", extras=[list(e) for e in extras])
 
     manifest = read_manifest(out_dir)
     metrics["n_docs"] = sum(r["n_docs"] for r in manifest.values())

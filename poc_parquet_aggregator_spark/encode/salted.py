@@ -119,6 +119,7 @@ def encode_dataset_by_source(
         # sortWithinPartitions keeps each bucket contiguous (interleaved
         # buckets fragment encode chunks → per-chunk overhead ruins the
         # ratio) and makes chunk boundaries deterministic after the shuffle.
+        write_layout(out_dir, "by-source", extras=[list(e) for e in extras])
         par = spark.sparkContext.defaultParallelism
         n_buckets_hint = max(par, n_salts)
         shuffled = todo_df.repartition(n_buckets_hint, "_bucket").sortWithinPartitions(
@@ -168,7 +169,6 @@ def encode_dataset_by_source(
                 {"snapshot": snapshot, "n_salts": n_salts, "buckets": all_buckets}, f
             )
         os.rename(tmp, job_path)
-        write_layout(out_dir, "by-source", extras=[list(e) for e in extras])
 
     manifest = read_manifest(out_dir)
     manifest.pop("_job", None)

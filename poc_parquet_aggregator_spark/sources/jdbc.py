@@ -87,6 +87,11 @@ def read_jdbc_dimension(
     if password is not None:
         reader = reader.option("password", password)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                "(Spark JDBC range partitioning)"
+            )
         # parallel range scan: one cursor per task — required for big tables
         reader = (
             reader.option("partitionColumn", partition_column)

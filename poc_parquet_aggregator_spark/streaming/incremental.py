@@ -218,7 +218,10 @@ def streaming_sessionize(
             o_start, o_last, o_n = open_sess
             if segs and segs[0][0] - o_last <= gap_s:
                 s0 = segs[0]
-                segs[0] = (o_start, s0[1], o_n + s0[2])
+                # min/max merge: a late-but-within-watermark event must not
+                # move the carried session's bounds BACKWARDS (an end that
+                # shrinks would close the session early on the next gap test)
+                segs[0] = (min(o_start, s0[0]), max(o_last, s0[1]), o_n + s0[2])
             else:
                 closed.append((uid, o_start, o_last, o_n))
         closed.extend((uid, s, e, n) for s, e, n in segs[:-1])

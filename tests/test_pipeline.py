@@ -464,3 +464,33 @@ def test_column_pruned_decode(spark, token_dir, tmp_path):
 
     with pytest.raises(ValueError, match="unknown columns"):
         read_decoded(spark, out, columns=["nope"])
+
+
+def test_extra_float_container_incompressible():
+    """Incompressible float64 extras take the raw-flag container; a payload
+    whose first byte collides with the ZSTD codec id must NOT be misparsed
+    (regression: unwrap_zstd on unwrapped raw bytes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from poc_parquet_aggregator_spark.encode.pipeline import (
+        _decode_extra,
+        _encode_extra_array,
+    )
+
+    rng = np.random.default_rng(0)
+    # raw random bytes as doubles: maximally incompressible, may embed any
+    # leading byte (including 0x05), may contain NaN
+    raw = rng.integers(0, 256, 8 * 4096, dtype=np.uint8).tobytes()
+    vals = np.frombuffer(raw, dtype=np.float64)
+    arr = pa.array(vals, type=pa.float64())
+    for lvl in (1, 15):
+        kind, payload, codec = _encode_extra_array(arr, True, lvl)
+        out = _decode_extra(kind, payload, len(vals)).to_numpy(zero_copy_only=False)
+        assert np.array_equal(out, vals, equal_nan=True), codec
+    # compressible doubles still take the zstd flag
+    smooth = pa.array(np.zeros(4096), type=pa.float64())
+    kind, payload, codec = _encode_extra_array(smooth, True, 3)
+    assert codec == "f64_zstd"
+    out = _decode_extra(kind, payload, 4096).to_numpy(zero_copy_only=False)
+    assert np.array_equal(out, np.zeros(4096))
