@@ -766,6 +766,7 @@ def read_decoded(
     out_dir: str,
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
+    doc_ids: list[str] | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Read the encoded table back as (doc_id, tokens, n_tok, source).
@@ -793,6 +794,21 @@ def read_decoded(
     if doc_id_range:
         lo, hi = doc_id_range
         enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
+    if doc_ids:
+        # point lookups: a chunk survives only if SOME requested id falls in
+        # its zone map — an OR of per-id between-predicates that parquet
+        # row-group stats evaluate before reading blob bytes. Above a size
+        # cap the expression collapses to the ids' overall range (still
+        # pruning, coarser).
+        ids = sorted(set(doc_ids))
+        if len(ids) <= 256:
+            cond = None
+            for i in ids:
+                c = (F.lit(i) >= F.col("doc_id_min")) & (F.lit(i) <= F.col("doc_id_max"))
+                cond = c if cond is None else (cond | c)
+        else:
+            cond = (F.col("doc_id_max") >= ids[0]) & (F.col("doc_id_min") <= ids[-1])
+        enc = enc.filter(cond)
     extras = read_extras(out_dir)
     all_names = [f.name for f in _decoded_schema(extras).fields]
     if columns is None:
@@ -806,7 +822,7 @@ def read_decoded(
     need = set(sel)
     if sources:
         need.add("source")
-    if doc_id_range:
+    if doc_id_range or doc_ids:
         need.add("doc_id")
     dec_cols = [c for c in all_names if c in need]
     # prune the PARQUET SCAN to only the blobs the projection decodes —
@@ -831,6 +847,8 @@ def read_decoded(
         dec = dec.filter(
             (F.col("doc_id") >= doc_id_range[0]) & (F.col("doc_id") <= doc_id_range[1])
         )
+    if doc_ids:
+        dec = dec.filter(F.col("doc_id").isin(list(set(doc_ids))))
     if sel != dec_cols:
         dec = dec.select(*sel)
     return dec

@@ -494,3 +494,22 @@ def test_extra_float_container_incompressible():
     assert codec == "f64_zstd"
     out = _decode_extra(kind, payload, 4096).to_numpy(zero_copy_only=False)
     assert np.array_equal(out, np.zeros(4096))
+
+
+def test_point_lookup_doc_ids(spark, token_dir, tmp_path):
+    """doc_ids= point lookups: zone-map OR-predicate prunes chunks, exact
+    post-filter returns precisely the requested rows (scattered ids across
+    files, with a projection)."""
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    want = ["doc-000000000007", "doc-000000002500", "doc-000000005999"]
+    got = read_decoded(spark, out, doc_ids=want, columns=["doc_id", "n_tok"])
+    rows = {r["doc_id"]: r["n_tok"] for r in got.collect()}
+    assert sorted(rows) == want
+    full = read_decoded(spark, out, columns=["doc_id", "n_tok"])
+    expect = {r["doc_id"]: r["n_tok"] for r in full.collect() if r["doc_id"] in set(want)}
+    assert rows == expect
+    # nonexistent id → empty, no error
+    assert read_decoded(spark, out, doc_ids=["doc-999999999999"]).count() == 0
