@@ -160,3 +160,39 @@ def test_arrow_fsst_branch_from_buffers():
     ch = pa.chunked_array([arr.slice(0, 3000), arr.slice(3000)])
     blob3, codec3 = CS.encode_strings_arrow(ch)
     assert decode_strings(blob3) == vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(max_size=30), min_size=1, max_size=64),
+    st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=64),
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=64),
+    st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=1, max_size=64),
+)
+def test_extras_container_property(ss, i32s, i64s, f64s):
+    """Extra-column container: every supported type round-trips exactly
+    (including NaN/inf doubles and int64 extremes) through both zstd
+    settings."""
+    import pyarrow as pa
+
+    from poc_parquet_aggregator_spark.encode.pipeline import (
+        _decode_extra,
+        _encode_extra_array,
+    )
+
+    arrays = [
+        pa.array(ss, type=pa.string()),
+        pa.array(np.array(i32s, dtype=np.int32), type=pa.int32()),
+        pa.array(np.array(i64s, dtype=np.int64), type=pa.int64()),
+        pa.array(np.array(f64s, dtype=np.float64), type=pa.float64()),
+    ]
+    for arr in arrays:
+        for zstd in (False, True):
+            kind, payload, _codec = _encode_extra_array(arr, zstd, 3)
+            out = _decode_extra(kind, payload, len(arr))
+            a = arr.to_pandas().to_numpy()
+            b = out.to_pandas().to_numpy()
+            if arr.type == pa.float64():
+                assert np.array_equal(a, b, equal_nan=True)
+            else:
+                assert list(out) == list(arr)
