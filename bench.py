@@ -167,17 +167,23 @@ def main() -> None:
     # N vs 4N scaling criterion (archive mode = CPU-bound; see module doc).
     # Efficiency is a RATIO of two measurements taken minutes apart — host
     # drift between the blocks contaminates it even when each block is
-    # internally clean. Protocol (unbiased under contention): measure the
-    # pair once; if it reads below the bar, measure up to two more FULL
-    # pairs and report the MEDIAN paired efficiency across all attempts —
-    # never the maximum, which would be a one-sided upward bias. Every
-    # attempt's efficiency stays in the JSON.
+    # internally clean. Protocol: measure the pair once; a single reading is
+    # an unbiased estimate and is accepted as-is when it clears the bar. If
+    # it reads below the bar, measure exactly TWO more full pairs (a fixed
+    # count — stopping early once the running median crosses the bar would
+    # re-introduce a one-sided upward bias) and report the MEDIAN of all
+    # three. The odd attempt count also keeps the representative pair's own
+    # ratio equal to the reported efficiency. Every attempt stays in the
+    # JSON. Residual bias: a below-bar first read triggers re-measurement
+    # while an above-bar one doesn't — unavoidable under a bounded bench
+    # budget, which is why all raw attempts are published.
     pairs = [(run_encode(2, zstd_level=15), run_encode(8, zstd_level=15, verify=True))]
     effs = [pairs[0][1]["tokens_per_s"] / (4.0 * pairs[0][0]["tokens_per_s"])]
-    while len(pairs) < 3 and statistics.median(effs) < 0.8:
-        n2, f2 = run_encode(2, zstd_level=15), run_encode(8, zstd_level=15)
-        pairs.append((n2, f2))
-        effs.append(f2["tokens_per_s"] / (4.0 * n2["tokens_per_s"]))
+    if effs[0] < 0.8:
+        for _ in range(2):
+            n2, f2 = run_encode(2, zstd_level=15), run_encode(8, zstd_level=15)
+            pairs.append((n2, f2))
+            effs.append(f2["tokens_per_s"] / (4.0 * n2["tokens_per_s"]))
     eff = statistics.median(effs)
     # representative pair = the attempt whose efficiency is the median
     rep = min(range(len(effs)), key=lambda i: abs(effs[i] - eff))

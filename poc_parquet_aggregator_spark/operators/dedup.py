@@ -67,9 +67,13 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         h.update(open(full, "rb").read())
     zip_path = f"/tmp/poc_parquet_aggregator_spark_pyfiles-{h.hexdigest()[:12]}.zip"
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        # atomic publish: a concurrent session must never see a half-written
+        # zip at the shared content-addressed path
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for full, rel in entries:
                 zf.write(full, rel)
+        os.rename(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     ensure_workers_can_import._done = sid
 

@@ -200,32 +200,38 @@ def streaming_sessionize(
             state.remove()
             yield pd.DataFrame([(uid, start_ts, last_ts, n)], columns=cols)
             return
-        ts = np.sort(
-            np.concatenate(
-                [pdf["ts"].astype("int64").to_numpy() // 1_000_000_000 for pdf in pdfs]
-            )
-        )
+        raw = np.concatenate(
+            [pdf["ts"].dropna().astype("int64").to_numpy() for pdf in pdfs]
+        )  # dropna: a NULL ts would turn into INT64_MIN garbage
+        ts = np.sort(raw // 1_000_000_000)
         if len(ts) == 0:
             return
         closed: list[tuple] = []
-        open_sess = state.get if state.exists else None  # (start, last, n)
         # segment the batch at inactivity gaps
         cuts = np.flatnonzero(np.diff(ts) > gap_s)
         starts = np.concatenate(([0], cuts + 1))
         ends = np.concatenate((cuts, [len(ts) - 1]))
         segs = [(int(ts[s]), int(ts[e]), int(e - s + 1)) for s, e in zip(starts, ends)]
-        if open_sess is not None:
-            o_start, o_last, o_n = open_sess
-            if segs and segs[0][0] - o_last <= gap_s:
-                s0 = segs[0]
-                # min/max merge: a late-but-within-watermark event must not
-                # move the carried session's bounds BACKWARDS (an end that
-                # shrinks would close the session early on the next gap test)
-                segs[0] = (min(o_start, s0[0]), max(o_last, s0[1]), o_n + s0[2])
+        # fold the carried open session in as ONE MORE SEGMENT and gap-merge
+        # the sorted interval list. This is the only formulation that matches
+        # the batch twin when the watermark admits late data: a late segment
+        # can bridge two batch segments through the carried session, and a
+        # late segment ending > gap before the carried start must close on
+        # its own rather than being absorbed.
+        if state.exists:
+            import bisect
+
+            o = tuple(state.get)  # (start, last, n)
+            segs.insert(bisect.bisect_left([g[0] for g in segs], o[0]), o)
+        merged: list[tuple] = []
+        for seg in segs:
+            if merged and seg[0] - merged[-1][1] <= gap_s:
+                last = merged[-1]
+                merged[-1] = (last[0], max(last[1], seg[1]), last[2] + seg[2])
             else:
-                closed.append((uid, o_start, o_last, o_n))
-        closed.extend((uid, s, e, n) for s, e, n in segs[:-1])
-        tail = segs[-1]
+                merged.append(seg)
+        closed.extend((uid, s, e, n) for s, e, n in merged[:-1])
+        tail = merged[-1]
         state.update(tail)
         state.setTimeoutTimestamp((tail[1] + gap_s) * 1000)
         if closed:
@@ -233,7 +239,8 @@ def streaming_sessionize(
 
     events = spark.readStream.schema(in_schema).parquet(input_dir)
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
