@@ -139,6 +139,34 @@ def streaming_daily_rollup(
     )
 
 
+def _merge_sessions(
+    ts: "list[int]", carried: tuple | None, gap_s: int
+) -> tuple[list[tuple], tuple]:
+    """Gap-merge sorted event seconds plus an optional carried open session
+    → (closed sessions, open tail). Pure function so the cross-batch
+    semantics (late bridges, detached late segments) are unit-testable
+    without a streaming harness. Each session tuple is (start, end, n)."""
+    import bisect
+
+    import numpy as np
+
+    ts = np.asarray(ts, dtype=np.int64)
+    cuts = np.flatnonzero(np.diff(ts) > gap_s)
+    starts = np.concatenate(([0], cuts + 1))
+    ends = np.concatenate((cuts, [len(ts) - 1]))
+    segs = [(int(ts[s]), int(ts[e]), int(e - s + 1)) for s, e in zip(starts, ends)]
+    if carried is not None:
+        segs.insert(bisect.bisect_left([g[0] for g in segs], carried[0]), tuple(carried))
+    merged: list[tuple] = []
+    for seg in segs:
+        if merged and seg[0] - merged[-1][1] <= gap_s:
+            last = merged[-1]
+            merged[-1] = (last[0], max(last[1], seg[1]), last[2] + seg[2])
+        else:
+            merged.append(seg)
+    return merged[:-1], merged[-1]
+
+
 def streaming_sessionize(
     spark: SparkSession,
     input_dir: str,
@@ -206,32 +234,12 @@ def streaming_sessionize(
         ts = np.sort(raw // 1_000_000_000)
         if len(ts) == 0:
             return
-        closed: list[tuple] = []
-        # segment the batch at inactivity gaps
-        cuts = np.flatnonzero(np.diff(ts) > gap_s)
-        starts = np.concatenate(([0], cuts + 1))
-        ends = np.concatenate((cuts, [len(ts) - 1]))
-        segs = [(int(ts[s]), int(ts[e]), int(e - s + 1)) for s, e in zip(starts, ends)]
-        # fold the carried open session in as ONE MORE SEGMENT and gap-merge
-        # the sorted interval list. This is the only formulation that matches
-        # the batch twin when the watermark admits late data: a late segment
-        # can bridge two batch segments through the carried session, and a
-        # late segment ending > gap before the carried start must close on
-        # its own rather than being absorbed.
-        if state.exists:
-            import bisect
-
-            o = tuple(state.get)  # (start, last, n)
-            segs.insert(bisect.bisect_left([g[0] for g in segs], o[0]), o)
-        merged: list[tuple] = []
-        for seg in segs:
-            if merged and seg[0] - merged[-1][1] <= gap_s:
-                last = merged[-1]
-                merged[-1] = (last[0], max(last[1], seg[1]), last[2] + seg[2])
-            else:
-                merged.append(seg)
-        closed.extend((uid, s, e, n) for s, e, n in merged[:-1])
-        tail = merged[-1]
+        # fold the carried open session in as one more segment and gap-merge
+        # the sorted interval list (_merge_sessions) — the only formulation
+        # that matches the batch twin when the watermark admits late data
+        carried = tuple(state.get) if state.exists else None
+        done, tail = _merge_sessions(ts, carried, gap_s)
+        closed = [(uid, s, e, n) for s, e, n in done]
         state.update(tail)
         state.setTimeoutTimestamp((tail[1] + gap_s) * 1000)
         if closed:

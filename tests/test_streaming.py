@@ -124,3 +124,27 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     # by the +5000 gap; user 2: the single event at +0 closed by the +4000
     # gap. Open tails (1@+5000, 2@+4000..+4100) stay in state — not emitted.
     assert got == {(1, B, B + 250, 4), (2, B, B, 1)}
+
+
+def test_merge_sessions_late_data_semantics():
+    """The cross-batch merge must match the batch twin under admitted late
+    data: a late event can BRIDGE two batch segments through the carried
+    session, and a detached late segment closes on its own (both were wrong
+    under a first-segment-only merge)."""
+    from poc_parquet_aggregator_spark.streaming.incremental import _merge_sessions
+
+    gap = 1800
+    # bridge: carried (0..1000); batch has late 100 and new 2000. 2000-1000
+    # <= gap, so everything is ONE open session — nothing closes.
+    closed, tail = _merge_sessions([100, 2000], (0, 1000, 3), gap)
+    assert closed == [] and tail == (0, 2000, 5)
+    # detached late segment: carried (10000..11000); late event at 100 is
+    # its own closed session, carried stays open untouched.
+    closed, tail = _merge_sessions([100], (10000, 11000, 4), gap)
+    assert closed == [(100, 100, 1)] and tail == (10000, 11000, 4)
+    # no carried state: plain gap split
+    closed, tail = _merge_sessions([0, 100, 5000], None, gap)
+    assert closed == [(0, 100, 2)] and tail == (5000, 5000, 1)
+    # carried merges and a later in-batch gap still closes the merged one
+    closed, tail = _merge_sessions([1200, 9000], (0, 1000, 2), gap)
+    assert closed == [(0, 1200, 3)] and tail == (9000, 9000, 1)
