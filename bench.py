@@ -152,6 +152,15 @@ def run_encode(cores: int, zstd_level: int, verify: bool = False) -> dict:
         dec.count()
         dt = time.time() - t0
         res["decode_tokens_per_s"] = round(metrics["n_tokens"] / dt)
+        # analytics directly over the encoded table with column pruning:
+        # (source, n_tok) projection decodes no token values at all
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        read_decoded(spark, out_dir, columns=["source", "n_tok"]).groupBy(
+            "source"
+        ).agg(F.sum("n_tok")).collect()
+        res["pruned_agg_s"] = round(time.time() - t0, 3)
     stop_spark()
     shutil.rmtree(out_dir, ignore_errors=True)
     return res
