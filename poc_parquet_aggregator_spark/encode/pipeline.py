@@ -64,6 +64,8 @@ META_SCHEMA = T.StructType(
         T.StructField("bytes_out", T.LongType(), False),
         T.StructField("checksum", T.LongType(), False),
         T.StructField("codecs_json", T.StringType(), False),
+        T.StructField("doc_id_min", T.StringType(), True),
+        T.StructField("doc_id_max", T.StringType(), True),
     ]
 )
 
@@ -78,6 +80,8 @@ _META_ARROW_SCHEMA = pa.schema(
         pa.field("bytes_out", pa.int64()),
         pa.field("checksum", pa.int64()),
         pa.field("codecs_json", pa.string()),
+        pa.field("doc_id_min", pa.string()),
+        pa.field("doc_id_max", pa.string()),
     ]
 )
 
@@ -417,6 +421,8 @@ def _make_encode_fn(
                     "bytes_out": sum(r["bytes_out"] for r in rows),
                     "checksum": checksum,
                     "codecs_json": json.dumps(codecs, sort_keys=True),
+                    "doc_id_min": min((r["doc_id_min"] for r in rows), default=None),
+                    "doc_id_max": max((r["doc_id_max"] for r in rows), default=None),
                 }
             )
         if out_rows:
@@ -734,6 +740,12 @@ def encode_dataset(
                 "bytes_out": sum(r["bytes_out"] for r in rows),
                 "checksum": checksum,
                 "codecs": codecs,
+                "doc_id_min": min(
+                    (r["doc_id_min"] for r in rows if r["doc_id_min"]), default=None
+                ),
+                "doc_id_max": max(
+                    (r["doc_id_max"] for r in rows if r["doc_id_max"]), default=None
+                ),
                 "snapshot": _snapshot(path_of[stem]),
                 "committed_at": time.time(),
             }
@@ -785,6 +797,29 @@ def read_decoded(
         after decode.
     """
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
+    # manifest-level file pruning: each lineage record carries the file's
+    # doc_id bounds, so a range/point read drops whole file_stem partitions
+    # BEFORE any parquet footer is opened — at the 10^12-sequence target
+    # (~40M files) this is driver-side metadata work vs a footer read per
+    # file (the Iceberg data-file-stats analogy of this manifest). Records
+    # without bounds (older encodes) are conservatively kept.
+    want_lo = want_hi = None
+    if doc_id_range:
+        want_lo, want_hi = doc_id_range
+    if doc_ids:
+        ids_sorted = sorted(set(doc_ids))
+        lo2, hi2 = ids_sorted[0], ids_sorted[-1]
+        want_lo = lo2 if want_lo is None else max(want_lo, lo2)
+        want_hi = hi2 if want_hi is None else min(want_hi, hi2)
+    if want_lo is not None:
+        keep = [
+            stem
+            for stem, rec in read_manifest(out_dir).items()
+            if rec.get("doc_id_min") is None
+            or rec.get("doc_id_max") is None
+            or (rec["doc_id_max"] >= want_lo and rec["doc_id_min"] <= want_hi)
+        ]
+        enc = enc.filter(F.col("file_stem").isin(keep))
     if sources and read_layout(out_dir) == "by-source":
         cond = None
         for s in sources:

@@ -155,6 +155,12 @@ def encode_dataset_by_source(
                 "bytes_out": sum(r["bytes_out"] for r in rows),
                 "checksum": checksum,
                 "codecs": codecs,
+                "doc_id_min": min(
+                    (r["doc_id_min"] for r in rows if r["doc_id_min"]), default=None
+                ),
+                "doc_id_max": max(
+                    (r["doc_id_max"] for r in rows if r["doc_id_max"]), default=None
+                ),
                 "snapshot": snapshot,
                 "committed_at": time.time(),
             }

@@ -513,3 +513,28 @@ def test_point_lookup_doc_ids(spark, token_dir, tmp_path):
     assert rows == expect
     # nonexistent id → empty, no error
     assert read_decoded(spark, out, doc_ids=["doc-999999999999"]).count() == 0
+
+
+def test_manifest_file_pruning(spark, token_dir, tmp_path):
+    """Range reads prune whole files via the manifest's file-level doc_id
+    bounds before the scan: the physical plan's file_stem filter keeps only
+    overlapping stems, and results match the unpruned filter."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    recs = read_manifest(out)
+    assert all(r.get("doc_id_min") and r.get("doc_id_max") for r in recs.values())
+    # range falling inside ONE file (files are 2000 docs each, ids sorted)
+    lo, hi = "doc-000000000100", "doc-000000000199"
+    df = read_decoded(spark, out, doc_id_range=(lo, hi))
+    assert df.count() == 100
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the isin list must contain exactly the one overlapping stem
+    assert plan.count("tokens-0000000") == 1, plan[:500]
+    full = read_decoded(spark, out)
+    assert df.count() == full.filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    ).count()
