@@ -105,12 +105,142 @@ FROM documents
 """
 
 
+RESIZE_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+_TARGET_W, _TARGET_H = 224, 224
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        lens = np.fromiter(
+            (len(b) for b in pdf["payload"]), dtype=np.int64, count=len(pdf)
+        )
+        width, height, _ = _fake_decode(lens)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "out_w": np.full(len(pdf), _TARGET_W, dtype=np.int64),
+                "out_h": np.full(len(pdf), _TARGET_H, dtype=np.int64),
+                # raw double ratios of exact ints: bit-identical on both engines
+                "scale_x": _TARGET_W / width.astype(np.float64),
+                "scale_y": _TARGET_H / height.astype(np.float64),
+                "out_bytes": np.full(len(pdf), _TARGET_W * _TARGET_H * 3, dtype=np.int64),
+            }
+        )
+
+
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing: decode dims (stubbed) → fixed 224×224 target with
+    per-image scale factors and output byte budget — the shape of an image
+    resize stage with the pixel work stubbed (swap the kernel body for
+    PIL.Image.resize; the Arrow batch contract is identical)."""
+    from .dedup import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(_resize_batches, schema=RESIZE_META)
+
+
+ORACLE_RESIZE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 + 1 AS width,
+         (octet_length(encode(text)) * 7) % 480 + 1 AS height
+  FROM documents)
+SELECT doc_id, {_TARGET_W} AS out_w, {_TARGET_H} AS out_h,
+       {_TARGET_W} / CAST(width AS DOUBLE) AS scale_x,
+       {_TARGET_H} / CAST(height AS DOUBLE) AS scale_y,
+       {_TARGET_W * _TARGET_H * 3} AS out_bytes
+FROM dims
+"""
+
+
+FEATURE_META = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("first_b", T.LongType()),
+        T.StructField("last_b", T.LongType()),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction over the REAL payload bytes, vectorized: one
+    concatenated buffer + reduceat per batch — no per-row Python beyond the
+    join of the already-materialized byte objects."""
+    for pdf in batches:
+        bufs = list(pdf["payload"])
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+        starts = np.zeros(len(bufs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nonempty = lens > 0
+        sums = np.zeros(len(bufs), dtype=np.int64)
+        first = np.zeros(len(bufs), dtype=np.int64)
+        last = np.zeros(len(bufs), dtype=np.int64)
+        if nonempty.any():
+            sums[nonempty] = np.add.reduceat(flat, starts[nonempty])
+            first[nonempty] = flat[starts[nonempty]]
+            last[nonempty] = flat[(starts + lens)[nonempty] - 1]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": lens,
+                "byte_sum": sums,
+                "first_b": first,
+                "last_b": last,
+            }
+        )
+
+
+def q_multimodal_feature_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-extraction plumbing over the actual payload BYTES (not just
+    their length): per-payload byte sum / boundary bytes via one
+    concatenated-buffer reduceat per Arrow batch. Swap the stats for a real
+    embedding model's forward pass; the batch contract is identical. Oracle
+    note: the corpus is ASCII, where DuckDB's per-char code points equal
+    utf-8 bytes."""
+    from .dedup import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
+    payloads = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(_feature_batches, schema=FEATURE_META)
+
+
+ORACLE_FEATURE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(coalesce(list_reduce(list_transform(string_split(text, ''), c -> unicode(c)),
+                                 (a, b) -> a + b), 0) AS BIGINT) AS byte_sum,
+       CAST(coalesce(unicode(substr(text, 1, 1)), 0) AS BIGINT) AS first_b,
+       CAST(coalesce(unicode(substr(text, -1, 1)), 0) AS BIGINT) AS last_b
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_feature_extract": q_multimodal_feature_extract,
 }
 
 ORACLES = {
     "multimodal_decode_meta": ORACLE_MULTIMODAL,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "multimodal_resize": ORACLE_RESIZE,
+    "multimodal_feature_extract": ORACLE_FEATURE,
 }
