@@ -446,6 +446,37 @@ def _decode_cols(extras: list[tuple[str, str]] | None = None) -> list[tuple[str,
     ] + [(n, _ARROW_OF[t]) for n, t in (extras or [])]
 
 
+def _emit_record_batches(
+    out: dict, schema: "pa.Schema"
+) -> Iterator[pa.RecordBatch]:
+    """Yield RecordBatches matching ``schema`` (utf8 string fields).
+
+    decode_strings_arrow falls back to a large_utf8 array when a chunk's
+    concatenated payload overflows int32 offsets (≥2 GiB). Such an array
+    can't go into a utf8-schema batch directly, so the row set is split
+    into segments small enough that each segment's payload fits int32
+    offsets again, and each large slice is cast back to utf8. The common
+    (<2 GiB) path emits one batch with zero extra work."""
+    arrays = [out[name] for name in schema.names]
+    large = [i for i, a in enumerate(arrays) if pa.types.is_large_string(a.type)]
+    if not large:
+        yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+        return
+    n = len(arrays[0])
+    max_payload = max(arrays[i].nbytes for i in large)
+    n_seg = max(1, -(-max_payload // (1 << 30)))  # ≤1 GiB payload per segment
+    rows = -(-n // n_seg)
+    for s in range(0, n, rows):
+        ln = min(rows, n - s)
+        cols = []
+        for i, a in enumerate(arrays):
+            sl = a.slice(s, ln)
+            if i in large:
+                sl = sl.cast(pa.string())
+            cols.append(sl)
+        yield pa.RecordBatch.from_arrays(cols, schema=schema)
+
+
 def _make_decode_fn(
     extras: list[tuple[str, str]] | None = None,
     columns: list[str] | None = None,
@@ -493,9 +524,7 @@ def _make_decode_fn(
                     for name, _t in want_extras:
                         kind, payload = by_name[name]
                         out[name] = _decode_extra(kind, payload, 0)
-                yield pa.RecordBatch.from_arrays(
-                    [out[f.name] for f in schema], schema=schema
-                )
+                yield from _emit_record_batches(out, schema)
 
     return decode_batches
 

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame) -> DataFrame:
+    # file count as the split proxy: a scan never has more partitions than
+    # cores-worth of work unless it has at least that many files/splits.
+    # (df.rdd.getNumPartitions() would be exact but forces an RDD conversion
+    # + analysis per call — measurable overhead across a 50-query gate run.)
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
+    if len(df.inputFiles()) < p:
         return df.repartition(p)
     return df

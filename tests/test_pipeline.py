@@ -538,3 +538,24 @@ def test_manifest_file_pruning(spark, token_dir, tmp_path):
     assert df.count() == full.filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
     ).count()
+
+
+def test_emit_record_batches_large_utf8_fallback():
+    """A large_utf8 array (the ≥2 GiB decode fallback) must still come out
+    as utf8 batches matching the declared schema — segmented + cast."""
+    import numpy as np
+    import pyarrow as pa
+
+    from poc_parquet_aggregator_spark.encode.pipeline import _emit_record_batches
+
+    n = 10
+    vals = [f"doc-{i:012d}" for i in range(n)]
+    big = pa.array(vals, type=pa.large_utf8())
+    schema = pa.schema([pa.field("doc_id", pa.string()), pa.field("n_tok", pa.int32())])
+    out = {"doc_id": big, "n_tok": pa.array(np.arange(n, dtype=np.int32))}
+    batches = list(_emit_record_batches(out, schema))
+    assert all(b.schema == schema for b in batches)
+    got = [v.as_py() for b in batches for v in b.column(0)]
+    assert got == vals
+    got_n = [v.as_py() for b in batches for v in b.column(1)]
+    assert got_n == list(range(n))
