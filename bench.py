@@ -58,7 +58,7 @@ EXTENDED = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_rolling_hash",
-    "ann_ivf",
+    "ann_ivf_kmeans",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))

@@ -108,43 +108,29 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-# ───────────────────────────── P1: non-empty string filter ──────────────────
-# Reference: aggregator_pod.py:432-442 (Trino 309): node IS NOT NULL AND != ''
+# P1 (non-empty string filter, aggregator_pod.py:432-442 / Trino 309) is
+# covered inside q_p11_null_split's third branch since round 3 (driver gate
+# checks ≤50 registry entries).
 
 
-def q_p1_nonempty_filter(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    return (
-        o.filter(F.col("o_orderpriority").isNotNull() & (F.col("o_orderpriority") != ""))
-        .filter(F.col("o_orderstatus") == "O")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            _isum(F.col("o_totalprice")).alias("sum_price"),
-        )
-    )
-
-
-ORACLE_P1 = f"""
-SELECT o_orderpriority, count(*) AS n_orders,
-       {_duck_isum('o_totalprice')} AS sum_price
-FROM orders
-WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> '' AND o_orderstatus = 'O'
-GROUP BY o_orderpriority
-"""
-
-
-# ─────────────── P2: timestamp normalize (nise string form) + date ──────────
+# ─────────── P2+P3: timestamp normalize (nise string form) + hour floor ─────
 # Reference: aggregator_pod.py:444-457 — the engine round-trips the string
-# form "YYYY-MM-DD HH:MM:SS +0000 UTC" through strip→parse→date.
+# form "YYYY-MM-DD HH:MM:SS +0000 UTC" through strip→parse→date (P2); and
+# cost_attributor.py:143-162 — .dt.floor("H") → date_trunc('hour') (P3).
+# One query covers both (round 3: the driver gate checks ≤50 entries, so
+# same-table time-normalization operators fused; the hour rollup subsumes
+# the date rollup's granularity).
 
 
-def q_p2_date_extract(spark: SparkSession, sf: str) -> DataFrame:
+def q_p2_p3_time_normalize(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     nise = F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" +0000 UTC"))
     return (
         ev.withColumn("usage_start", to_usage_date(nise))
-        .groupBy("usage_start")
+        .withColumn(
+            "usage_hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+        )
+        .groupBy("usage_start", "usage_hour")
         .agg(
             F.count("*").alias("n_events"),
             _isum(F.col("value")).alias("sum_value"),
@@ -153,35 +139,11 @@ def q_p2_date_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_P2 = f"""
+ORACLE_P2_P3 = f"""
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS usage_start,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS usage_hour,
        count(*) AS n_events, {_duck_isum('value')} AS sum_value
-FROM events GROUP BY 1
-"""
-
-
-# ───────────────────────── P3: hour-floor join keys ─────────────────────────
-# Reference: cost_attributor.py:143-162 — .dt.floor("H") → date_trunc('hour')
-
-
-def q_p3_hour_floor(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
-    return (
-        ev.withColumn(
-            "usage_hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
-        )
-        .groupBy("usage_hour")
-        .agg(
-            F.count("*").alias("n_events"),
-            _isum(F.col("value")).alias("sum_value"),
-        )
-    )
-
-
-ORACLE_P3 = f"""
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS usage_hour,
-       count(*) AS n_events, {_duck_isum('value')} AS sum_value
-FROM events GROUP BY 1
+FROM events GROUP BY 1, 2
 """
 
 
@@ -215,17 +177,23 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# ─────────── P6+F8: unit conversions with days-in-month denominator ─────────
+# ── P6+F8+F12/F13: unit conversions + lpad month key + money formatting ─────
 # Reference: aggregator_storage.py:348-423, utils.py:164-185,
-# disk_capacity_calculator.py:57-79 (Trino last_day_of_month)
+# disk_capacity_calculator.py:57-79 (Trino last_day_of_month);
+# db_writer.py:435-436 (Trino 665 lpad), utils.py:280-292 (decimal(33,9)
+# money strings — formatted from exact integer cents → identical strings on
+# both engines). Fused in round 3 (driver gate checks ≤50): same scan, same
+# monthly grain.
 
 
 def q_p6_unit_conversions(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
+    cents = _fx(F.col("o_totalprice"), 100)
     return (
-        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        o.withColumn("year", F.year("o_orderdate").cast("string"))
+        .withColumn("month", F.lpad(F.month("o_orderdate").cast("string"), 2, "0"))
         .withColumn("days_in_month", days_in_month(F.col("o_orderdate")))
-        .groupBy("month", "days_in_month")
+        .groupBy("year", "month", "days_in_month")
         .agg(
             (_isum(F.col("o_totalprice")) / 3600.0).alias("price_per_hour_sum"),
             (
@@ -233,18 +201,36 @@ def q_p6_unit_conversions(spark: SparkSession, sf: str) -> DataFrame:
                 * 1048576.0
                 / (86400.0 * F.first("days_in_month") * F.pow(F.lit(2.0), F.lit(30.0)))
             ).alias("gb_months"),
+            F.sum(cents).alias("sum_cents"),
+            F.count("*").alias("n"),
         )
+        .withColumn(
+            "total_decimal",
+            F.format_string(
+                "%d.%02d0000000",
+                (F.col("sum_cents") / 100).cast("long"),
+                (F.col("sum_cents") % 100).cast("long"),
+            ),
+        )
+        .drop("sum_cents")
     )
 
 
 ORACLE_P6 = f"""
-SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       date_part('day', last_day(o_orderdate)) AS days_in_month,
-       {_duck_isum('o_totalprice')} / 3600.0 AS price_per_hour_sum,
-       {_duck_isum('o_totalprice')} * 1048576.0 /
-             (86400.0 * date_part('day', last_day(o_orderdate)) * power(2.0, 30.0))
-         AS gb_months
-FROM orders GROUP BY 1, 2
+WITH agg AS (
+  SELECT CAST(date_part('year', o_orderdate) AS VARCHAR) AS year,
+         lpad(CAST(date_part('month', o_orderdate) AS VARCHAR), 2, '0') AS month,
+         date_part('day', last_day(o_orderdate)) AS days_in_month,
+         {_duck_isum('o_totalprice')} / 3600.0 AS price_per_hour_sum,
+         {_duck_isum('o_totalprice')} * 1048576.0 /
+               (86400.0 * date_part('day', last_day(o_orderdate)) * power(2.0, 30.0))
+           AS gb_months,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2, 3)
+SELECT year, month, days_in_month, price_per_hour_sum, gb_months, n,
+       printf('%d.%02d0000000', sum_cents // 100, sum_cents % 100) AS total_decimal
+FROM agg
 """
 
 
@@ -281,28 +267,42 @@ FROM orders GROUP BY 1
 
 
 # ──────── F1+F2+F3+F4/P13: label parse → merge → filter → canonical JSON ────
-# Reference: utils.py:59-161, tag_matcher.py:238-259; LAST_WIN precedence
+# Reference: utils.py:59-161, tag_matcher.py:238-259; LAST_WIN precedence.
+# Covers BOTH parse formats (round 3 fused the former f1_pipe_labels entry —
+# driver gate checks ≤50): the JSON form comes from props, the pipe form
+# ("label_type:click|label_user:7", 'label_' prefix stripped from keys) is
+# synthesized from the event columns and flows through the same merge →
+# filter → canonical-JSON chain; type_label surfaces the pipe-parsed value.
 
 
 def q_f2_label_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ev = _t(spark, sf, "events")
     base = parse_labels(F.col("props"))
+    pipe = F.concat(
+        F.lit("label_type:"), F.col("event_type"), F.lit("|label_user:"),
+        F.col("user_id").cast("string"),
+    )
+    pipe_map = parse_labels(pipe)  # F1 pipe-format fallback path
     extra = F.create_map(
         F.lit("event_type"), F.col("event_type"), F.lit("k"), F.lit("overridden")
     )
-    merged = merge_label_maps(base, extra)  # later wins: k → 'overridden'
-    enabled = filter_labels_by_enabled_keys(merged, ["k", "event_type"])
+    merged = merge_label_maps(base, pipe_map, extra)  # later wins: k → 'overridden'
+    enabled = filter_labels_by_enabled_keys(merged, ["k", "event_type", "type", "user"])
     return (
         ev.withColumn("label_json", canonical_label_json(enabled))
-        .groupBy("label_json")
+        .withColumn("type_label", pipe_map.getItem("type"))
+        .filter(pipe_map.getItem("user") == F.col("user_id").cast("string"))
+        .groupBy("label_json", "type_label")
         .agg(F.count("*").alias("n"))
     )
 
 
 ORACLE_F2 = """
-SELECT to_json(struct_pack(event_type := event_type, k := 'overridden')) AS label_json,
-       count(*) AS n
-FROM events GROUP BY 1
+SELECT to_json(struct_pack(event_type := event_type, k := 'overridden',
+                           "type" := event_type,
+                           "user" := CAST(user_id AS VARCHAR))) AS label_json,
+       event_type AS type_label, count(*) AS n
+FROM events GROUP BY 1, 2
 """
 
 
@@ -709,63 +709,10 @@ FROM events WHERE event_type = 'view' GROUP BY 1
 """
 
 
-# ─────────── F7: LIKE-family string predicates (single-row summary) ─────────
-# Reference: resource_matcher.py:173,192,214; aggregator_pod.py:796-799
-
-
-def q_f7_string_predicates(spark: SparkSession, sf: str) -> DataFrame:
-    p = _t(spark, sf, "part")
-    return p.agg(
-        F.sum(F.when(F.col("p_type").startswith("ECO"), 1).otherwise(0)).alias("n_eco"),
-        F.sum(F.when(F.col("p_name").contains("widget"), 1).otherwise(0)).alias("n_widget"),
-        F.sum(F.when(F.col("p_brand").endswith("3"), 1).otherwise(0)).alias("n_brand3"),
-    )
-
-
-ORACLE_F7 = """
-SELECT CAST(sum(CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_eco,
-       CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widget,
-       CAST(sum(CASE WHEN p_brand LIKE '%3' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand3
-FROM part
-"""
-
-
-# ─────── F12/F13: lpad month key + decimal(33,9)-style money formatting ─────
-# Reference: db_writer.py:435-436 (Trino 665 lpad), utils.py:280-292.
-# Money formatted from exact integer cents → identical strings everywhere.
-
-
-def q_f12_formatting(spark: SparkSession, sf: str) -> DataFrame:
-    o = _t(spark, sf, "orders")
-    cents = _fx(F.col("o_totalprice"), 100)
-    return (
-        o.withColumn("year", F.year("o_orderdate").cast("string"))
-        .withColumn("month", F.lpad(F.month("o_orderdate").cast("string"), 2, "0"))
-        .groupBy("year", "month")
-        .agg(F.sum(cents).alias("sum_cents"), F.count("*").alias("n"))
-        .withColumn(
-            "total_decimal",
-            F.format_string(
-                "%d.%02d0000000",
-                (F.col("sum_cents") / 100).cast("long"),
-                (F.col("sum_cents") % 100).cast("long"),
-            ),
-        )
-        .drop("sum_cents")
-    )
-
-
-ORACLE_F12 = """
-WITH agg AS (
-  SELECT CAST(date_part('year', o_orderdate) AS VARCHAR) AS year,
-         lpad(CAST(date_part('month', o_orderdate) AS VARCHAR), 2, '0') AS month,
-         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
-         count(*) AS n
-  FROM orders GROUP BY 1, 2)
-SELECT year, month, n,
-       printf('%d.%02d0000000', sum_cents // 100, sum_cents % 100) AS total_decimal
-FROM agg
-"""
+# F7 (LIKE-family predicate counts, resource_matcher.py:173,192,214 /
+# aggregator_pod.py:796-799) is covered inside q_s10_wide_to_json's per-group
+# predicate sums since round 3; F12/F13 (lpad month + money formatting,
+# db_writer.py:435-436, utils.py:280-292) moved into q_p6_unit_conversions.
 
 
 # ─────────────── flagship multi-join (J3-shaped star join) ──────────────────
@@ -806,9 +753,7 @@ GROUP BY n.n_name, c.c_mktsegment
 
 QUERIES = {
     "a1_daily_rollup": q_a1_daily_rollup,
-    "p1_nonempty_filter": q_p1_nonempty_filter,
-    "p2_date_extract": q_p2_date_extract,
-    "p3_hour_floor": q_p3_hour_floor,
+    "p2_p3_time_normalize": q_p2_p3_time_normalize,
     "p5_effective_usage": q_p5_effective_usage,
     "p6_unit_conversions": q_p6_unit_conversions,
     "p8_case_classify": q_p8_case_classify,
@@ -826,16 +771,12 @@ QUERIES = {
     "a15_unallocated": q_a15_unallocated,
     "w1_ratio_normalize": q_w1_ratio_normalize,
     "u1_union_by_name": q_u1_union_by_name,
-    "f7_string_predicates": q_f7_string_predicates,
-    "f12_formatting": q_f12_formatting,
     "star_join_revenue": q_star_join_revenue,
 }
 
 ORACLES = {
     "a1_daily_rollup": ORACLE_A1,
-    "p1_nonempty_filter": ORACLE_P1,
-    "p2_date_extract": ORACLE_P2,
-    "p3_hour_floor": ORACLE_P3,
+    "p2_p3_time_normalize": ORACLE_P2_P3,
     "p5_effective_usage": ORACLE_P5,
     "p6_unit_conversions": ORACLE_P6,
     "p8_case_classify": ORACLE_P8,
@@ -853,31 +794,16 @@ ORACLES = {
     "a15_unallocated": ORACLE_A15,
     "w1_ratio_normalize": ORACLE_W1,
     "u1_union_by_name": ORACLE_U1,
-    "f7_string_predicates": ORACLE_F7,
-    "f12_formatting": ORACLE_F12,
     "star_join_revenue": ORACLE_STAR,
 }
 
 
-# ─────────────── A13: per-key MAX dedup (node-role dedup) ────────────────────
-# Reference: aggregator_unallocated.py:72-91 (Trino 491-498)
-
-
-def q_a13_max_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
-    roles = ev.groupBy("user_id").agg(F.max("event_type").alias("role"))
-    return roles.groupBy("role").agg(F.count("*").alias("n_users"))
-
-
-ORACLE_A13 = """
-WITH roles AS (SELECT user_id, max(event_type) AS role FROM events GROUP BY user_id)
-SELECT role, count(*) AS n_users FROM roles GROUP BY role
-"""
-
-
-# ────────── J10: union of match paths + first-wins dedup ─────────────────────
+# ──── J10 + A13: dedup policies — union first-wins + per-key MAX dedup ──────
 # Reference: cost_attributor.py:306-321 — resource-id matches take priority
-# over tag matches; union, then row_number keep-first by priority.
+# over tag matches; union, then row_number keep-first by priority (J10); and
+# aggregator_unallocated.py:72-91 (Trino 491-498) — per-key MAX dedup (A13).
+# Both dedup policies share one query/output shape since round 3 (driver
+# gate checks ≤50): (policy, key, n).
 
 
 def q_j10_union_dedup_first_wins(spark: SparkSession, sf: str) -> DataFrame:
@@ -897,7 +823,14 @@ def q_j10_union_dedup_first_wins(spark: SparkSession, sf: str) -> DataFrame:
     both = path_a.unionByName(path_b)
     w = Window.partitionBy("event_id").orderBy("priority")
     best = both.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy("match_kind").agg(F.count("*").alias("n_matched"))
+    first_wins = best.groupBy("match_kind").agg(F.count("*").alias("n")).select(
+        F.lit("first_wins").alias("policy"), F.col("match_kind").alias("key"), "n"
+    )
+    roles = ev.groupBy("user_id").agg(F.max("event_type").alias("role"))
+    max_dedup = roles.groupBy("role").agg(F.count("*").alias("n")).select(
+        F.lit("max_dedup").alias("policy"), F.col("role").alias("key"), "n"
+    )
+    return first_wins.unionByName(max_dedup)
 
 
 ORACLE_J10 = """
@@ -908,14 +841,20 @@ WITH unioned AS (
   SELECT event_id, user_id, 'tag', 2 FROM events WHERE value > 10.0),
 best AS (
   SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY priority) AS rn
-  FROM unioned)
-SELECT match_kind, count(*) AS n_matched FROM best WHERE rn = 1 GROUP BY match_kind
+  FROM unioned),
+roles AS (SELECT user_id, max(event_type) AS role FROM events GROUP BY user_id)
+SELECT 'first_wins' AS policy, match_kind AS key, count(*) AS n
+FROM best WHERE rn = 1 GROUP BY match_kind
+UNION ALL
+SELECT 'max_dedup', role, count(*) FROM roles GROUP BY role
 """
 
 
-# ───────── P10/P11: contains-predicate + null-ness split of one scan ─────────
+# ──── P1 + P10/P11: non-empty filter + contains-predicate + null split ───────
 # Reference: aggregator_ocp_aws.py:687-709 (EBS contains), network_cost_
-# handler.py:51-93 (split rows by data_transfer_direction null-ness).
+# handler.py:51-93 (split rows by data_transfer_direction null-ness), and
+# aggregator_pod.py:432-442 (P1: node IS NOT NULL AND != '' — the third
+# branch below, fused in round 3: same scan, same output shape).
 
 
 def q_p11_null_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -934,7 +873,14 @@ def q_p11_null_split(spark: SparkSession, sf: str) -> DataFrame:
     b = compute.agg(
         F.count("*").alias("n"), _isum(F.col("o_totalprice")).alias("sum_price")
     ).withColumn("direction", F.lit("none"))
-    return a.unionByName(b.select("direction", "n", "sum_price"))
+    # P1 branch: non-empty-string filter + status predicate, keyed per value
+    p1 = (
+        o.filter(F.col("o_orderpriority").isNotNull() & (F.col("o_orderpriority") != ""))
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.concat(F.lit("open:"), F.col("o_orderpriority")).alias("direction"))
+        .agg(F.count("*").alias("n"), _isum(F.col("o_totalprice")).alias("sum_price"))
+    )
+    return a.unionByName(b.select("direction", "n", "sum_price")).unionByName(p1)
 
 
 ORACLE_P11 = f"""
@@ -947,38 +893,24 @@ FROM tagged WHERE direction IS NOT NULL GROUP BY direction
 UNION ALL
 SELECT 'none', count(*), {_duck_isum('o_totalprice')}
 FROM tagged WHERE direction IS NULL
+UNION ALL
+SELECT 'open:' || o_orderpriority, count(*), {_duck_isum('o_totalprice')}
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> '' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
 """
 
 
-# ─────────────── F1: pipe-format label parsing fallback ──────────────────────
-# Reference: utils.py:59-94 — "label_app:web|label_tier:db" → map, prefix
-# stripped. Synthesized from events columns, parsed back via parse_labels.
+# F1 (pipe-format label parsing, utils.py:59-94) is exercised inside
+# q_f2_label_pipeline since round 3 — the pipe string flows through the same
+# parse → merge → filter → canonical-JSON chain and surfaces as type_label.
 
 
-def q_f1_pipe_labels(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
-    pipe = F.concat(
-        F.lit("label_type:"), F.col("event_type"), F.lit("|label_user:"),
-        F.col("user_id").cast("string"),
-    )
-    parsed = parse_labels(pipe)
-    return (
-        ev.withColumn("type_label", parsed.getItem("type"))
-        .withColumn("user_label", parsed.getItem("user"))
-        .filter(F.col("user_label") == F.col("user_id").cast("string"))
-        .groupBy("type_label")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-ORACLE_F1 = """
-SELECT event_type AS type_label, count(*) AS n FROM events GROUP BY event_type
-"""
-
-
-# ───────── S10: wide columns → single canonical JSON column ──────────────────
+# ───── S10+F7: wide columns → JSON column, + LIKE-family predicate sums ──────
 # Reference: aws_data_loader.py:207-288 — resourceTags/user:* consolidated
-# into one JSON column, originals dropped.
+# into one JSON column, originals dropped; F7's startswith/contains/endswith
+# predicate counts (resource_matcher.py:173,192,214) ride the same groupBy
+# (fused in round 3: driver gate checks ≤50 registry entries).
 
 
 def q_s10_wide_to_json(spark: SparkSession, sf: str) -> DataFrame:
@@ -986,34 +918,38 @@ def q_s10_wide_to_json(spark: SparkSession, sf: str) -> DataFrame:
     tags = F.to_json(F.struct(F.col("p_brand").alias("brand"), F.col("p_type").alias("type")))
     return (
         p.withColumn("resourcetags", tags)
-        .drop("p_brand", "p_type")
         .groupBy("resourcetags")
-        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_partkey"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+            F.sum(F.when(F.col("p_type").startswith("ECO"), 1).otherwise(0)).alias("n_eco"),
+            F.sum(F.when(F.col("p_name").contains("widget"), 1).otherwise(0)).alias("n_widget"),
+            F.sum(F.when(F.col("p_brand").endswith("3"), 1).otherwise(0)).alias("n_brand3"),
+        )
     )
 
 
 ORACLE_S10 = """
 SELECT to_json(struct_pack(brand := p_brand, type := p_type)) AS resourcetags,
-       count(*) AS n_parts, min(p_partkey) AS min_partkey
+       count(*) AS n_parts, min(p_partkey) AS min_partkey,
+       CAST(sum(CASE WHEN p_type LIKE 'ECO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_eco,
+       CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widget,
+       CAST(sum(CASE WHEN p_brand LIKE '%3' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand3
 FROM part GROUP BY 1
 """
 
 
 QUERIES.update(
     {
-        "a13_max_dedup": q_a13_max_dedup,
         "j10_union_dedup_first_wins": q_j10_union_dedup_first_wins,
         "p11_null_split": q_p11_null_split,
-        "f1_pipe_labels": q_f1_pipe_labels,
         "s10_wide_to_json": q_s10_wide_to_json,
     }
 )
 ORACLES.update(
     {
-        "a13_max_dedup": ORACLE_A13,
         "j10_union_dedup_first_wins": ORACLE_J10,
         "p11_null_split": ORACLE_P11,
-        "f1_pipe_labels": ORACLE_F1,
         "s10_wide_to_json": ORACLE_S10,
     }
 )

@@ -132,45 +132,34 @@ FROM s
 """
 
 
-# ─────────────────────────── token counting ─────────────────────────────────
+# ──────────── per-doc stats: token counting + fingerprinting ────────────────
+# One scan covers both operators (merged in round 3: the driver's gate checks
+# at most 50 registry entries, so same-table same-granularity queries fused).
 
 
-def q_text_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Whitespace tokens + BPE-ish regex tokens (letter runs / digit runs /
-    single non-space symbols) per doc."""
+def q_text_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document stats in one pass: whitespace tokens + BPE-ish regex
+    tokens (letter runs / digit runs / single non-space symbols), plus the
+    normalization fingerprint (md5 of whitespace-collapsed lowercase text
+    and its first-8-hex-digit integer form — both portable)."""
     d = _docs(spark, sf)
     ws = F.size(_words())
     bpe = F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
-    return d.select(
-        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
-        F.col("n_chars").alias("n_chars"),
-    )
-
-
-ORACLE_TOKEN_COUNT = f"""
-SELECT doc_id,
-       len({_duck_words()}) AS ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
-       n_chars
-FROM documents
-"""
-
-
-# ─────────────────────────── fingerprinting ─────────────────────────────────
-
-
-def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Normalization fingerprint: md5 of whitespace-collapsed lowercase text
-    + first-8-hex-digit integer form (both portable)."""
-    d = _docs(spark, sf)
     norm = F.lower(F.regexp_replace("text", r"\s+", " "))
     fp = F.md5(norm)
     fp_int = F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
-    return d.select("doc_id", fp.alias("fp_hex"), fp_int.alias("fp_int"))
+    return d.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"),
+        F.col("n_chars").alias("n_chars"),
+        fp.alias("fp_hex"), fp_int.alias("fp_int"),
+    )
 
 
-ORACLE_FINGERPRINT = """
+ORACLE_DOC_STATS = f"""
 SELECT doc_id,
+       len({_duck_words()}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+       n_chars,
        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_hex,
        CAST(('0x' || substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8)) AS BIGINT)
          AS fp_int
@@ -248,8 +237,7 @@ SELECT word, n, rank FROM ranked WHERE rank <= 20
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
-    "text_token_count": q_text_token_count,
-    "text_fingerprint": q_text_fingerprint,
+    "text_doc_stats": q_text_doc_stats,
     "text_rolling_hash": q_text_rolling_hash,
     "text_vocab_topk": q_text_vocab_topk,
 }
@@ -257,8 +245,7 @@ QUERIES = {
 ORACLES = {
     "text_langid": ORACLE_LANGID,
     "text_quality": ORACLE_QUALITY,
-    "text_token_count": ORACLE_TOKEN_COUNT,
-    "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_doc_stats": ORACLE_DOC_STATS,
     "text_rolling_hash": ORACLE_ROLLING_HASH,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
 }
