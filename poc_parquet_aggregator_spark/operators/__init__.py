@@ -24,6 +24,9 @@ _ORDER = [
     "multimodal_transform",
     "pack_sequences",
     "text_vocab_topk",
+    # ── new in round 3 ──
+    "pack_tokens",
+    "ocp_aws_pipeline",
     # ── merged / reworked in round 3 ──
     "p2_p3_time_normalize",
     "text_doc_stats",

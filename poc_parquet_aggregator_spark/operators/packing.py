@@ -86,5 +86,60 @@ def pack_token_examples(df: DataFrame, ctx_len: int = 2048) -> DataFrame:
     )
 
 
-QUERIES = {"pack_sequences": q_pack_sequences}
-ORACLES = {"pack_sequences": ORACLE_PACK}
+_TOK_CTX = 512  # context budget for the token-table twin
+
+
+def q_pack_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-table twin for the engine-side packer (VERDICT r2 #8): a real
+    (doc_id, tokens, n_tok, source) frame is synthesized from documents
+    (token id = first 4 md5 hex digits of each word — portable), packed by
+    ``pack_token_examples``, and the flattened token arrays are asserted
+    via a per-pack md5 of the comma-joined ids — a fixed point DuckDB
+    reproduces exactly, so the gate checks token-level equality of the
+    packs, not just counts."""
+    d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
+    words = F.split(F.lower(F.regexp_replace("text", r"\s+", " ")), " ")
+    tokens = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int")
+    )
+    df = d.select("doc_id", "source", tokens.alias("tokens")).withColumn(
+        "n_tok", F.size("tokens")
+    )
+    packed = pack_token_examples(df, ctx_len=_TOK_CTX)
+    return packed.select(
+        "source",
+        "pack_id",
+        F.md5(
+            F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string")))
+        ).alias("pack_md5"),
+        "n_docs",
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+
+
+ORACLE_PACK_TOKENS = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_transform(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+                        w -> CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER)) AS tokens
+  FROM documents),
+sized AS (SELECT *, len(tokens) AS n_tok FROM toks),
+c AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok AS start
+  FROM sized),
+packed AS (
+  SELECT source, CAST(floor(start / {_TOK_CTX}.0) AS BIGINT) AS pack_id,
+         doc_id, tokens, n_tok
+  FROM c)
+SELECT source, pack_id,
+       md5(array_to_string(list_transform(flatten(list(tokens ORDER BY doc_id)),
+                                          x -> CAST(x AS VARCHAR)), ',')) AS pack_md5,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok
+FROM packed GROUP BY 1, 2
+"""
+
+
+QUERIES = {"pack_sequences": q_pack_sequences, "pack_tokens": q_pack_tokens}
+ORACLES = {"pack_sequences": ORACLE_PACK, "pack_tokens": ORACLE_PACK_TOKENS}

@@ -975,13 +975,12 @@ _J12_SPECIAL = ("openshift_cluster", "openshift_node", "openshift_project")
 _J12_ENABLED = [*_J12_SPECIAL, "app", "env"]  # cost-center is NOT enabled
 
 
-def q_j12_tag_cascade(spark: SparkSession, sf: str) -> DataFrame:
-    p = _t(spark, sf, "part")
+def _j12_tag_map() -> Column:
+    """Deterministic synthetic resourcetags map; conditional keys via
+    map_filter, mirroring sparse AWS tags (the cost-center tag exists on
+    every row but is filtered out by the enabled-keys dim)."""
     pk, psz = F.col("p_partkey"), F.col("p_size")
-    # deterministic synthetic resourcetags map; conditional keys via
-    # map_filter, mirroring sparse AWS tags (the cost-center tag exists on
-    # every row but is filtered out by the enabled-keys dim below)
-    tag_map = F.map_filter(
+    return F.map_filter(
         F.create_map(
             F.lit("openshift_cluster"),
             F.when(pk % 7 == 0, F.concat(F.lit("cluster-"), (pk % 50).cast("string"))),
@@ -998,90 +997,85 @@ def q_j12_tag_cascade(spark: SparkSession, sf: str) -> DataFrame:
         ),
         lambda _k, v: v.isNotNull(),
     )
-    aws = p.select(
-        "p_partkey",
-        F.col("p_brand").like("%2").alias("rid_matched"),
-        tag_map.alias("resourcetags"),
-    )
-    enabled = spark.createDataFrame([(k,) for k in _J12_ENABLED], ["key"])
-    tags = (
-        aws.filter(~F.col("rid_matched"))
-        .select("p_partkey", F.explode("resourcetags"))
-        .join(F.broadcast(enabled), "key")
-        .cache()
-    )
-    # OCP label sets, derived from the dimension tables (DISTINCT relations;
-    # at scale these are the large semi-join sides)
+
+
+def _j12_match_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE unioned match dimension (join_key, stage, match_type, tag_suffix)
+    covering all six cascade stages — round 3 fused the former six staged
+    joins into a single equi join on join_key (= 'key=value'): the special
+    stages' keys are fixed strings, so prefixing the value with them makes
+    every stage the same join shape; the generic label sets already are
+    'k=v'. matched_tag reconstructs as join_key || tag_suffix. Cross-stage
+    duplicates are fine — the first-wins window resolves them. At 100 TB
+    this is one shuffle-hash join on join_key instead of six scans of a
+    cached tags frame (no cache needed at all anymore)."""
+    pk = F.col("p_partkey")
     clusters = (
         _t(spark, sf, "supplier")
-        .select(F.concat(F.lit("cluster-"), (F.col("s_suppkey") % 30).cast("string")).alias("value"))
+        .select(F.concat(F.lit("openshift_cluster=cluster-"), (F.col("s_suppkey") % 30).cast("string")).alias("join_key"))
         .distinct()
+        .select("join_key", F.lit(1).alias("stage"), F.lit("cluster_id").alias("match_type"), F.lit("").alias("tag_suffix"))
     )
     aliases = (
         _t(spark, sf, "nation")
-        .select(F.concat(F.lit("cluster-"), (F.col("n_nationkey") % 10 + 30).cast("string")).alias("value"))
+        .select(F.concat(F.lit("openshift_cluster=cluster-"), (F.col("n_nationkey") % 10 + 30).cast("string")).alias("join_key"))
         .distinct()
+        .select("join_key", F.lit(2).alias("stage"), F.lit("cluster_alias").alias("match_type"), F.lit(" (alias)").alias("tag_suffix"))
     )
     nodes = (
         _t(spark, sf, "customer")
-        .select(F.concat(F.lit("node-"), (F.col("c_custkey") % 60).cast("string")).alias("value"))
+        .select(F.concat(F.lit("openshift_node=node-"), (F.col("c_custkey") % 60).cast("string")).alias("join_key"))
         .distinct()
+        .select("join_key", F.lit(3).alias("stage"), F.lit("node").alias("match_type"), F.lit("").alias("tag_suffix"))
     )
     namespaces = (
         _t(spark, sf, "orders")
-        .select(F.concat(F.lit("ns-"), (F.col("o_orderkey") % 26).cast("string")).alias("value"))
+        .select(F.concat(F.lit("openshift_project=ns-"), (F.col("o_orderkey") % 26).cast("string")).alias("join_key"))
         .distinct()
+        .select("join_key", F.lit(4).alias("stage"), F.lit("project").alias("match_type"), F.lit("").alias("tag_suffix"))
     )
     pod_labels = (
         _t(spark, sf, "part")
         .filter(pk % 4 == 0)
-        .select(
-            F.concat(F.lit("app="), F.col("p_brand"), F.lit("-"), (pk % 16).cast("string")).alias("label")
-        )
+        .select(F.concat(F.lit("app="), F.col("p_brand"), F.lit("-"), (pk % 16).cast("string")).alias("join_key"))
         .distinct()
+        .select("join_key", F.lit(5).alias("stage"), F.lit("pod_labels").alias("match_type"), F.lit(" (pod_labels)").alias("tag_suffix"))
     )
     vol_labels = (
         _t(spark, sf, "lineitem")
-        .select(F.concat(F.lit("env=env"), (F.col("l_linenumber") % 2).cast("string")).alias("label"))
+        .select(F.concat(F.lit("env=env"), (F.col("l_linenumber") % 2).cast("string")).alias("join_key"))
         .distinct()
+        .select("join_key", F.lit(6).alias("stage"), F.lit("volume_labels").alias("match_type"), F.lit(" (volume_labels)").alias("tag_suffix"))
+    )
+    return (
+        clusters.unionByName(aliases)
+        .unionByName(nodes)
+        .unionByName(namespaces)
+        .unionByName(pod_labels)
+        .unionByName(vol_labels)
     )
 
-    def special(key: str, sets_df: DataFrame, stage: int, mtype: str, suffix: str = "") -> DataFrame:
-        return (
-            tags.filter(F.col("key") == key)
-            .join(sets_df, "value")
-            .select(
-                "p_partkey",
-                F.lit(stage).alias("stage"),
-                "key",
-                F.concat(F.lit(key + "="), F.col("value"), F.lit(suffix)).alias("matched_tag"),
-                F.lit(mtype).alias("match_type"),
-            )
-        )
 
-    gen = tags.filter(~F.col("key").isin(*_J12_SPECIAL)).withColumn(
-        "label", F.concat(F.col("key"), F.lit("="), F.col("value"))
+def _tag_cascade_best(spark: SparkSession, sf: str, unmatched: DataFrame) -> DataFrame:
+    """Priority tag cascade over the not-resource-matched rows of ``unmatched``
+    (p_partkey, resourcetags): explode once, semi-filter by the broadcast
+    enabled-keys dim, ONE join against the unioned match dimension, one
+    first-wins window. Returns (p_partkey, b_matched_tag, b_match_type)."""
+    enabled = spark.createDataFrame([(k,) for k in _J12_ENABLED], ["key"])
+    tags = (
+        unmatched.select("p_partkey", F.explode("resourcetags"))
+        .join(F.broadcast(enabled), "key")
+        .withColumn("join_key", F.concat(F.col("key"), F.lit("="), F.col("value")))
     )
-
-    def generic(sets_df: DataFrame, stage: int, mtype: str) -> DataFrame:
-        return gen.join(sets_df, "label").select(
-            "p_partkey",
-            F.lit(stage).alias("stage"),
-            "key",
-            F.concat(F.col("label"), F.lit(f" ({mtype})")).alias("matched_tag"),
-            F.lit(mtype).alias("match_type"),
-        )
-
-    matches = (
-        special("openshift_cluster", clusters, 1, "cluster_id")
-        .unionByName(special("openshift_cluster", aliases, 2, "cluster_alias", " (alias)"))
-        .unionByName(special("openshift_node", nodes, 3, "node"))
-        .unionByName(special("openshift_project", namespaces, 4, "project"))
-        .unionByName(generic(pod_labels, 5, "pod_labels"))
-        .unionByName(generic(vol_labels, 6, "volume_labels"))
+    matches = tags.join(_j12_match_dim(spark, sf), "join_key").select(
+        "p_partkey",
+        "stage",
+        "key",
+        F.concat(F.col("join_key"), F.col("tag_suffix")).alias("matched_tag"),
+        "match_type",
     )
     w = Window.partitionBy("p_partkey").orderBy("stage", "key")
-    best = (
+    return (
         matches.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -1090,6 +1084,16 @@ def q_j12_tag_cascade(spark: SparkSession, sf: str) -> DataFrame:
             F.col("match_type").alias("b_match_type"),
         )
     )
+
+
+def q_j12_tag_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    aws = p.select(
+        "p_partkey",
+        F.col("p_brand").like("%2").alias("rid_matched"),
+        _j12_tag_map().alias("resourcetags"),
+    )
+    best = _tag_cascade_best(spark, sf, aws.filter(~F.col("rid_matched")))
     out = aws.join(best, "p_partkey", "left")
     return out.select(
         "p_partkey",
@@ -1105,9 +1109,13 @@ def q_j12_tag_cascade(spark: SparkSession, sf: str) -> DataFrame:
 
 _J12_NONSPECIAL = "('openshift_cluster', 'openshift_node', 'openshift_project')"
 
-ORACLE_J12 = f"""
-WITH tags_raw AS (
-  SELECT p_partkey, (p_brand LIKE '%2') AS rid_matched,
+
+def _j12_cascade_sql(rid_pred: str) -> str:
+    """The cascade's DuckDB CTE chain (tags_raw … best), parameterized by
+    the resource-id-matched predicate so both q_j12_tag_cascade and the
+    composed ocp_aws_pipeline oracle share it verbatim."""
+    return f"""tags_raw AS (
+  SELECT p_partkey, ({rid_pred}) AS rid_matched,
     [ struct_pack(k := 'openshift_cluster',
         v := CASE WHEN p_partkey % 7 = 0 THEN 'cluster-' || CAST(p_partkey % 50 AS VARCHAR) END),
       struct_pack(k := 'openshift_node',
@@ -1158,7 +1166,11 @@ matches AS (
     WHERE t.key NOT IN {_J12_NONSPECIAL}),
 best AS (
   SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY stage, key) AS rn
-  FROM matches),
+  FROM matches)"""
+
+
+ORACLE_J12 = f"""
+WITH {_j12_cascade_sql("p_brand LIKE '%2'")},
 base AS (SELECT p_partkey, (p_brand LIKE '%2') AS rid_matched FROM part)
 SELECT b.p_partkey,
        CASE WHEN b.rid_matched THEN 'resource_id'
@@ -1347,3 +1359,129 @@ FROM amort GROUP BY litype
 
 QUERIES.update({"p9_savingsplan_normalize": q_p9_savingsplan_normalize})
 ORACLES.update({"p9_savingsplan_normalize": ORACLE_P9})
+
+
+# ═════════ composed flagship: the reference's full OCP-on-AWS pipeline ═══════
+# Reference: aggregator_ocp_aws.py:162-220 + main.py:151-592 — the product is
+# the CHAIN, not the phases: load → resource-id matching (resource_matcher.py,
+# J11 suffix cascade) → tag matching for the remainder (tag_matcher.py, J12
+# cascade) → capacity derivation (disk_capacity_calculator.py, A7) → cost
+# attribution by ratio (cost_attributor.py:519-573, W1) → summary union +
+# formatting (main.py:433-470 U2, db_writer.py:435 F12). Round 2 proved each
+# phase as an isolated oracle-paired query; this one query composes them so
+# cross-phase interactions (join order, null propagation, window-over-join)
+# are oracle-checked end to end.
+#
+# Scale shape: the suffix match is a broadcast theta join against a 3-row
+# dim; the cascade is the fused single equi join of _tag_cascade_best; A7 is
+# a partial-agg rollup of the big fact; attribution is one window keyed by
+# match_type; the final rollup is a tiny groupBy. No per-row Python, no
+# quadratic joins, one shuffle per keyed stage.
+
+
+def q_ocp_aws_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    aws = p.select("p_partkey", "p_brand", _j12_tag_map().alias("resourcetags"))
+    # phase 1: resource-id suffix match, priority first-wins (J11)
+    dim = spark.createDataFrame(_SUFFIXES, ["suffix", "priority"])
+    j = aws.join(F.broadcast(dim), F.col("p_brand").endswith(F.col("suffix")), "left")
+    w = Window.partitionBy("p_partkey").orderBy(F.col("priority").asc_nulls_last())
+    first = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    matched = first.select(
+        "p_partkey",
+        "resourcetags",
+        F.when(
+            F.col("suffix").isNotNull(), F.concat(F.lit("resource:"), F.col("suffix"))
+        ).alias("rmatch"),
+    )
+    # phase 2: tag cascade over the unmatched remainder (J12, fused join)
+    best = _tag_cascade_best(spark, sf, matched.filter(F.col("rmatch").isNull()))
+    labeled = matched.join(best, "p_partkey", "left").select(
+        "p_partkey",
+        F.coalesce("rmatch", "b_match_type", F.lit("unmatched")).alias("match_type"),
+        F.when(F.col("rmatch").isNull(), F.col("b_matched_tag")).alias("matched_tag"),
+    )
+    # phase 3: capacity derivation from the lineitem fact (A7)
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.max("l_extendedprice").alias("max_cost"), F.max("l_discount").alias("max_rate")
+    )
+    cap = F.round(F.col("max_cost") / (F.col("max_rate") * 730.0 + 1.0)).cast("long")
+    capacities = agg.select("l_partkey", cap.alias("capacity")).filter(
+        F.col("capacity") > 0
+    )
+    enriched = labeled.join(
+        capacities, labeled.p_partkey == capacities.l_partkey, "left"
+    ).select(
+        "p_partkey",
+        "match_type",
+        "matched_tag",
+        F.coalesce("capacity", F.lit(0)).alias("capacity"),
+    )
+    # phase 4: ratio attribution within each match_type (W1) — capacities
+    # are exact longs, so the window sum is order-independent
+    denom = F.sum("capacity").over(Window.partitionBy("match_type"))
+    attributed = enriched.withColumn(
+        "share", F.col("capacity") / F.nullif(denom, F.lit(0))
+    )
+    # phase 5: per-type summary ∪ total row (U2) + money formatting (F12)
+    per_type = attributed.groupBy("match_type").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("capacity").alias("total_capacity"),
+        _isum(F.coalesce(F.col("share"), F.lit(0.0))).alias("share_sum"),
+        F.min("matched_tag").alias("first_tag"),
+    )
+    total = attributed.agg(
+        F.count("*").alias("n_parts"), F.sum("capacity").alias("total_capacity")
+    ).withColumn("match_type", F.lit("TOTAL"))
+    out = per_type.unionByName(total, allowMissingColumns=True)
+    return out.withColumn(
+        "capacity_decimal", F.format_string("%d.000000000", F.col("total_capacity"))
+    )
+
+
+ORACLE_OCP_AWS_PIPELINE = f"""
+WITH dim(suffix, priority) AS (VALUES ('2', 1), ('5', 2), ('7', 3)),
+rmatch AS (
+  SELECT p_partkey, 'resource:' || suffix AS rmatch FROM (
+    SELECT p.p_partkey, d.suffix,
+           row_number() OVER (PARTITION BY p.p_partkey ORDER BY d.priority) AS rn
+    FROM part p JOIN dim d ON p.p_brand LIKE '%' || d.suffix)
+  WHERE rn = 1),
+{_j12_cascade_sql("p_partkey IN (SELECT p_partkey FROM rmatch)")},
+labeled AS (
+  SELECT p.p_partkey,
+         coalesce(r.rmatch, m.match_type, 'unmatched') AS match_type,
+         CASE WHEN r.rmatch IS NULL THEN m.matched_tag END AS matched_tag
+  FROM part p
+  LEFT JOIN rmatch r USING (p_partkey)
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) m USING (p_partkey)),
+capacities AS (
+  SELECT l_partkey,
+         CAST(round(max(l_extendedprice) / (max(l_discount) * 730.0 + 1.0)) AS BIGINT) AS capacity
+  FROM lineitem GROUP BY l_partkey
+  HAVING CAST(round(max(l_extendedprice) / (max(l_discount) * 730.0 + 1.0)) AS BIGINT) > 0),
+enriched AS (
+  SELECT l.p_partkey, l.match_type, l.matched_tag,
+         coalesce(c.capacity, 0) AS capacity
+  FROM labeled l LEFT JOIN capacities c ON l.p_partkey = c.l_partkey),
+attributed AS (
+  SELECT *, capacity / nullif(CAST(sum(capacity)
+              OVER (PARTITION BY match_type) AS BIGINT), 0) AS share
+  FROM enriched),
+summary AS (
+  SELECT match_type, count(*) AS n_parts,
+         CAST(sum(capacity) AS BIGINT) AS total_capacity,
+         {_duck_isum("coalesce(share, 0.0)")} AS share_sum,
+         min(matched_tag) AS first_tag
+  FROM attributed GROUP BY match_type
+  UNION ALL
+  SELECT 'TOTAL', count(*), CAST(sum(capacity) AS BIGINT), NULL, NULL
+  FROM attributed)
+SELECT match_type, n_parts, total_capacity, share_sum, first_tag,
+       printf('%d.000000000', total_capacity) AS capacity_decimal
+FROM summary
+"""
+
+QUERIES.update({"ocp_aws_pipeline": q_ocp_aws_pipeline})
+ORACLES.update({"ocp_aws_pipeline": ORACLE_OCP_AWS_PIPELINE})
