@@ -8,14 +8,17 @@ Parts:
  1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
     on local[$SPARK_GRAFT_CPUS]; each forced with a noop write (count()
     lets Catalyst prune the compute).
- 2. encode benchmark on the deterministic 400k-doc token table (32 files,
-    ~97M tokens):
-      * scaling pair: archive mode (zstd level 15 — CPU-bound, the
+ 2. encode benchmark:
+      * scaling pairs: archive mode (zstd level 15 — CPU-bound, the
         storage-bound 100 TB setting) at local[2] vs local[8] = the N vs 4N
-        criterion from BASELINE.md. Median of 3 runs after a warm run
-        (first run pays python-worker spawn + JIT).
-      * fast mode (zstd 3) at local[$SPARK_GRAFT_CPUS] for peak throughput.
-      * max-ratio mode (zstd 19) at local[8] — best-compression point.
+        criterion from BASELINE.md, on the 4× (1.6M-doc, ~390M-token)
+        scaling table so the ~2 s fixed per-run cost can't cap efficiency.
+        A FIXED count of interleaved pairs (default 3), unconditional
+        median — no one-sided re-measure path (r2 ADVICE).
+      * fast mode (zstd 3) at local[$SPARK_GRAFT_CPUS] for peak throughput,
+        and max-ratio mode (zstd 19) at local[8], both on the 400k-doc
+        table; decode verification (bit-identical) on the same table.
+      * ann_ivf_recall5: measured IVF recall vs exact top-5.
     This host has ~15 GB/s total memory bandwidth saturating at ~8 procs
     (see BENCH/BASELINE.md) — scaling is evidenced where the job is
     CPU-bound, not bandwidth-capped.
@@ -62,20 +65,35 @@ EXTENDED = [
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
+# the scaling pair runs on a 4× input: the encode job carries ~2 s of fixed
+# per-run cost (job submit/planning, manifest commit, metrics listing) that
+# doesn't parallelize — solving c + P/n against the r02 walls gives c≈2.0 s,
+# P≈30 s, i.e. a ceiling of 0.79 efficiency at the 400k size no matter how
+# clean the host is. 4× the work amortizes c to a ~0.95 ceiling.
+N_SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1600000"))
 ENC_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+N_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
 
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _bench_data_dir() -> str:
+def _token_dir(name: str, n_docs: int, docs_per_file: int) -> str:
     from poc_parquet_aggregator_spark.sources import write_token_table
 
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "tokens_bench400")
-    if not os.path.exists(d) or len(os.listdir(d)) < N_BENCH_DOCS // 12_500:
-        write_token_table(d, N_BENCH_DOCS, docs_per_file=12_500)
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", name)
+    if not os.path.exists(d) or len(os.listdir(d)) < n_docs // docs_per_file:
+        write_token_table(d, n_docs, docs_per_file=docs_per_file)
     return d
+
+
+def _bench_data_dir() -> str:
+    return _token_dir("tokens_bench400", N_BENCH_DOCS, 12_500)
+
+
+def _scaling_data_dir() -> str:
+    return _token_dir("tokens_scaling1600", N_SCALING_DOCS, 50_000)
 
 
 def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, float]]:
@@ -83,7 +101,10 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, flo
     from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
 
     spark = get_spark("bench_queries", cores=cpus)
-    _force(spark.read.parquet(f"{sf_dir}/nation.parquet"))  # JVM warmup
+    # JVM/JIT warmup on the tiny sf: drives the scan + hash-agg + broadcast
+    # + SMJ codegen paths once so the first measured query isn't paying JIT
+    for wq in ("a1_daily_rollup", "star_join_revenue"):
+        _force(QUERIES[wq](spark, "/root/testdata/sf0.001"))
     out: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -96,6 +117,55 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, flo
         ext[name] = round(time.time() - t0, 3)
     stop_spark()
     return out, ext
+
+
+def run_scaling_leg(cores: int, zstd_level: int = 15) -> dict:
+    """One scaling-pair leg: fresh session pinned to ``cores``, ONE warm
+    encode of the small 400k table (pays python-worker spawn + JIT inside
+    the session, outside the measurement), then ONE measured encode of the
+    4× scaling table. Legs are interleaved N,4N,N,4N,… by the caller so
+    slow host drift hits both sides of each ratio equally."""
+    from poc_parquet_aggregator_spark.encode import encode_dataset
+    from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
+
+    warm_dir = _bench_data_dir()
+    data_dir = _scaling_data_dir()
+    out_dir = f"/dev/shm/bench_scaling_c{cores}"
+    spark = get_spark(f"bench_scale_{cores}", cores=cores)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    encode_dataset(spark, warm_dir, out_dir, zstd_level=zstd_level)  # warm
+    shutil.rmtree(out_dir, ignore_errors=True)
+    m = encode_dataset(spark, data_dir, out_dir, zstd_level=zstd_level)
+    stop_spark()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "cores": cores,
+        "zstd_level": zstd_level,
+        "tokens": m["n_tokens"],
+        "wall_s": round(m["wall_s"], 2),
+        "tokens_per_s": round(m["n_tokens"] / m["wall_s"]),
+        "ratio_vs_parquet_zstd": round(m["ratio_vs_parquet_zstd"], 4),
+    }
+
+
+def measure_ann_recall(sf_dir: str, cpus: int) -> float:
+    """recall@5 of the k-means IVF vs the exact brute-force top-5 (VERDICT
+    r2 #5 asks for the measured number in BENCH)."""
+    from poc_parquet_aggregator_spark.operators import QUERIES
+    from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
+
+    spark = get_spark("bench_recall", cores=cpus)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_topk_bruteforce"](spark, sf_dir).collect()
+        if r["rank"] <= 5
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf_kmeans"](spark, sf_dir).collect()
+    }
+    stop_spark()
+    return round(len(exact & approx) / len(exact), 4) if exact else 1.0
 
 
 def _trimmed_median(walls: list[float]) -> float:
@@ -174,35 +244,41 @@ def main() -> None:
     queries, ext_queries = run_queries(sf_dir, cpus)
 
     # N vs 4N scaling criterion (archive mode = CPU-bound; see module doc).
-    # Efficiency is a RATIO of two measurements taken minutes apart — host
-    # drift between the blocks contaminates it even when each block is
-    # internally clean. Protocol: measure the pair once; a single reading is
-    # an unbiased estimate and is accepted as-is when it clears the bar. If
-    # it reads below the bar, measure exactly TWO more full pairs (a fixed
-    # count — stopping early once the running median crosses the bar would
-    # re-introduce a one-sided upward bias) and report the MEDIAN of all
-    # three. The odd attempt count also keeps the representative pair's own
-    # ratio equal to the reported efficiency. Every attempt stays in the
-    # JSON. Residual bias: a below-bar first read triggers re-measurement
-    # while an above-bar one doesn't — unavoidable under a bounded bench
-    # budget, which is why all raw attempts are published.
-    pairs = [(run_encode(2, zstd_level=15), run_encode(8, zstd_level=15, verify=True))]
-    effs = [pairs[0][1]["tokens_per_s"] / (4.0 * pairs[0][0]["tokens_per_s"])]
-    if effs[0] < 0.8:
-        for _ in range(2):
-            n2, f2 = run_encode(2, zstd_level=15), run_encode(8, zstd_level=15)
-            pairs.append((n2, f2))
-            effs.append(f2["tokens_per_s"] / (4.0 * n2["tokens_per_s"]))
+    # Efficiency is a RATIO of two measurements — host drift between the
+    # legs contaminates it even when each leg is internally clean. Round-3
+    # protocol (fixes the r2-flagged one-sided re-measure bias):
+    #   * a FIXED number of pairs (N_PAIRS, default 3) is always measured,
+    #     and the reported efficiency is the UNCONDITIONAL median — no
+    #     accept-early path in either direction;
+    #   * legs interleave N,4N,N,4N,… back-to-back so drift hits both sides
+    #     of each ratio equally;
+    #   * each leg measures the 4× scaling input after an in-session warm
+    #     run (worker spawn + JIT excluded; fixed per-run cost amortized —
+    #     see N_SCALING_DOCS note).
+    # Every attempt is published.
+    pairs = []
+    effs = []
+    for _ in range(N_PAIRS):
+        n_leg = run_scaling_leg(2)
+        f_leg = run_scaling_leg(8)
+        pairs.append((n_leg, f_leg))
+        effs.append(f_leg["tokens_per_s"] / (4.0 * n_leg["tokens_per_s"]))
     eff = statistics.median(effs)
     # representative pair = the attempt whose efficiency is the median
     rep = min(range(len(effs)), key=lambda i: abs(effs[i] - eff))
     enc_n, enc_4n = pairs[rep]
-    enc_4n.setdefault("bit_identical", pairs[0][1].get("bit_identical"))
-    enc_4n.setdefault("decode_tokens_per_s", pairs[0][1].get("decode_tokens_per_s"))
+    # bit-identical decode + read-back throughput, measured once on the
+    # 400k table (the correctness surface doesn't depend on input size)
+    ver = run_encode(8, zstd_level=15, verify=True)
+    enc_4n["bit_identical"] = ver.get("bit_identical")
+    enc_4n["decode_tokens_per_s"] = ver.get("decode_tokens_per_s")
+    enc_4n["pruned_agg_s"] = ver.get("pruned_agg_s")
     # peak throughput, fast mode, all cores
     enc_fast = run_encode(cpus, zstd_level=3)
     # max-ratio mode: zstd 19 — the best-compression operating point
     enc_max = run_encode(8, zstd_level=19)
+    # IVF quality: recall@5 vs exact top-5 at the bench scale factor
+    recall5 = measure_ann_recall(sf_dir, cpus)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -213,12 +289,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "queries_extended": ext_queries,
+                "ann_ivf_recall5": recall5,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "encode": {
                     "scaling_N_cores2": enc_n,
                     "scaling_4N_cores8": enc_4n,
                     "scaling_efficiency": round(eff, 3),
                     "scaling_attempts": [round(e, 3) for e in effs],
+                    "scaling_pair_walls": [
+                        [p[0]["wall_s"], p[1]["wall_s"]] for p in pairs
+                    ],
                     "fast_mode_full_cores": enc_fast,
                     "max_ratio_mode_cores8": enc_max,
                 },

@@ -181,7 +181,15 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     exact by design — the oracle recomputes the same algorithm, not exact
     kNN; bench.py reports measured recall@5 vs ann_topk_bruteforce."""
     e = _emb(spark, sf)
-    cents = _trained_centroids(e)
+    # materialize the trained quantizer once: 8 rows × 64 doubles is a
+    # driver-side DIMENSION (the production analog is loading centroids
+    # from a model store). Left lazy, the deep k-means plan would re-execute
+    # for every downstream consumer (assigned + queries → 2×) — measured 12 s
+    # vs ~2 s at sf0.1.
+    spark_ = e.sparkSession
+    cents = spark_.createDataFrame(
+        _trained_centroids(e).collect(), "centroid_id long, cv array<double>"
+    )
     ranked = _rank_vs_centroids(e, cents)
     assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "centroid_id")
     queries = (

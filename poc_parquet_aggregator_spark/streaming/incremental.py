@@ -172,12 +172,26 @@ def streaming_sessionize(
     input_dir: str,
     gap_s: int = 1800,
     watermark: str = "0 seconds",
+    allow_fragmented_late_sessions: bool = False,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization with
     ``applyInPandasWithState`` — the streaming twin of
     operators.extended.q_w4_sessionization and the canonical use of
     per-group state Spark's built-in windows can't express (a session's
     length is data-dependent).
+
+    Watermark contract (r2 ADVICE): sessions closed by an in-batch gap are
+    emitted IMMEDIATELY, which matches the batch twin exactly at the
+    default ``watermark='0 seconds'`` (Spark then drops any event older
+    than the max seen, so an emitted session can never be re-opened). With
+    a NONZERO delay, an admitted late event adjacent to an
+    already-emitted session would fragment it — append mode cannot
+    retract — so that combination is rejected unless the caller opts into
+    the fragmentation explicitly via ``allow_fragmented_late_sessions``
+    (the watermark-gated alternative — hold every segment in state until
+    end+gap falls below the watermark — trades this for state growth and
+    timeout-driven emission latency; the batch twin is the right tool when
+    exactness under late data matters).
 
     Per user, GroupState carries the open session (start, last-event time,
     count). Each micro-batch sorts its arrivals (numpy, vectorized within
@@ -187,6 +201,14 @@ def streaming_sessionize(
     with an event-time timeout at last_ts + gap so idle sessions are
     flushed when the watermark passes them.
     """
+    if watermark != "0 seconds" and not allow_fragmented_late_sessions:
+        raise ValueError(
+            "streaming_sessionize emits gap-closed sessions immediately; a "
+            "nonzero watermark delay can fragment sessions around admitted "
+            "late events (append mode cannot retract). Pass "
+            "allow_fragmented_late_sessions=True to accept that, or use the "
+            "batch twin q_w4_sessionization for exact late-data semantics."
+        )
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         LongType,

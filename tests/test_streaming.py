@@ -148,3 +148,20 @@ def test_merge_sessions_late_data_semantics():
     # carried merges and a later in-batch gap still closes the merged one
     closed, tail = _merge_sessions([1200, 9000], (0, 1000, 2), gap)
     assert closed == [(0, 1200, 3)] and tail == (9000, 9000, 1)
+
+
+def test_sessionize_rejects_unsafe_watermark(spark, tmp_path):
+    """Nonzero watermark delay + immediate emission can fragment sessions
+    around admitted late events — must be an explicit opt-in."""
+    import pytest
+
+    from poc_parquet_aggregator_spark.streaming import streaming_sessionize
+
+    with pytest.raises(ValueError, match="fragment"):
+        streaming_sessionize(spark, str(tmp_path), watermark="10 minutes")
+    # explicit opt-in builds the plan without error
+    df = streaming_sessionize(
+        spark, str(tmp_path), watermark="10 minutes",
+        allow_fragmented_late_sessions=True,
+    )
+    assert df.isStreaming
