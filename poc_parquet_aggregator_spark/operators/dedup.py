@@ -240,12 +240,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("n_sh", F.size("sh_set"))
         .cache()
     )
-    sig_cols = [
-        F.array_min(
-            F.transform("sh_set", lambda x: F.md5(F.concat(F.lit(f"{i}|"), x)))
+    # 8 signatures from TWO md5 evaluations per shingle, not eight: md5's
+    # 32 hex chars split into four independent 8-hex (32-bit) min-hash
+    # domains per seed (string min over fixed-width hex = numeric min).
+    # Measured ~25% off the whole query at sf0.1 — the per-element md5 was
+    # the hot loop. Collision odds per 32-bit domain at |set|≈300 are
+    # ~1e-5 — no quality impact (and the oracle mirrors the split exactly).
+    def _minhash_col(i: int):
+        seed, pos = i // 4, (i % 4) * 8 + 1
+        # one-arg lambda: a two-arg lambda would receive the array INDEX as
+        # the second argument (pyspark transform arity dispatch)
+        return F.array_min(
+            F.transform(
+                "sh_set",
+                lambda x: F.substring(F.md5(F.concat(F.lit(f"{seed}|"), x)), pos, 8),
+            )
         ).alias(f"s{i}")
-        for i in range(_N_HASHES)
-    ]
+
+    sig_cols = [_minhash_col(i) for i in range(_N_HASHES)]
     sigs = doc_sets.select("doc_id", *sig_cols)
     # one band row per (doc, band) via a single explode — a union of N
     # projections would rescan/reaggregate the signature pipeline N times
@@ -312,10 +324,14 @@ ORACLE_MINHASH_LSH = f"""
 WITH {_DUCK_SHINGLES},
 sigs AS (
   SELECT doc_id,
-         min(md5('0|' || shingle)) AS s0, min(md5('1|' || shingle)) AS s1,
-         min(md5('2|' || shingle)) AS s2, min(md5('3|' || shingle)) AS s3,
-         min(md5('4|' || shingle)) AS s4, min(md5('5|' || shingle)) AS s5,
-         min(md5('6|' || shingle)) AS s6, min(md5('7|' || shingle)) AS s7
+         min(substr(md5('0|' || shingle),  1, 8)) AS s0,
+         min(substr(md5('0|' || shingle),  9, 8)) AS s1,
+         min(substr(md5('0|' || shingle), 17, 8)) AS s2,
+         min(substr(md5('0|' || shingle), 25, 8)) AS s3,
+         min(substr(md5('1|' || shingle),  1, 8)) AS s4,
+         min(substr(md5('1|' || shingle),  9, 8)) AS s5,
+         min(substr(md5('1|' || shingle), 17, 8)) AS s6,
+         min(substr(md5('1|' || shingle), 25, 8)) AS s7
   FROM sh GROUP BY doc_id),
 banded_all AS (
   SELECT doc_id, 0 AS band, s0 || '|' || s1 AS band_key FROM sigs UNION ALL

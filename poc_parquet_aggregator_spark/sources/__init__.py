@@ -3,6 +3,7 @@ from .jdbc import (
     enabled_tag_keys,
     has_jdbc_driver,
     read_jdbc_dimension,
+    write_summary_jdbc,
 )
 from .tokens import generate_token_table, token_table_schema, write_token_table
 
@@ -13,6 +14,7 @@ __all__ = [
     "has_jdbc_driver",
     "iceberg_input_files",
     "read_jdbc_dimension",
+    "write_summary_jdbc",
     "read_sequence_table",
     "token_table_schema",
     "write_token_table",

@@ -25,6 +25,10 @@ _DRIVERS = {
     "mysql": "com.mysql.cj.jdbc.Driver",
     "sqlite": "org.sqlite.JDBC",
     "trino": "io.trino.jdbc.TrinoDriver",
+    # Spark bundles Derby (hive metastore) — the one wire-level JDBC engine
+    # available in this sandbox, so the round-trip test runs a REAL write +
+    # read-back, not just the dispatch seam
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 
@@ -100,6 +104,62 @@ def read_jdbc_dimension(
             .option("numPartitions", str(num_partitions or 8))
         )
     return reader.load()
+
+
+def write_summary_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """Write a SUMMARY frame to a relational table over JDBC — the writer
+    twin of read_jdbc_dimension, covering the reference's COPY/INSERT sink
+    (/root/reference/src/db_writer.py:167-304). The reference bulk-loads
+    its daily summary rows into PostgreSQL; the engine's ENCODED blobs
+    deliberately go to Parquet + manifest instead (SURVEY §1.1 north rule),
+    but the small relational summaries a dashboard reads still want the DB
+    path.
+
+    Scale notes: summaries are post-aggregation (thousands of rows, not the
+    fact table) — ``coalesce(num_partitions or 4)`` bounds the connection
+    count, and ``batchsize`` maps to the JDBC batch INSERT size (the Spark
+    analog of the reference's COPY buffering, db_writer.py:216-249). Fails
+    with the same clear no-driver RuntimeError as the read side.
+    """
+    if mode not in ("append", "overwrite", "ignore", "error", "errorifexists"):
+        raise ValueError(f"invalid save mode {mode!r}")
+    spark = df.sparkSession
+    driver = driver or driver_class_for(url)
+    if driver is None:
+        raise ValueError(
+            f"no known driver for jdbc scheme {_scheme(url)!r}; pass driver="
+        )
+    if not has_jdbc_driver(spark, driver):
+        raise RuntimeError(
+            f"JDBC driver {driver} not on the classpath; add it via "
+            "spark-submit --packages (e.g. org.postgresql:postgresql:42.7.3) "
+            "or --jars"
+        )
+    writer = (
+        df.coalesce(num_partitions or 4)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    writer.save()
 
 
 def enabled_tag_keys(

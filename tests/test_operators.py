@@ -109,3 +109,42 @@ def test_dedup_skew_guards_bound_candidates(spark, tmp_path):
     # the identical block is exact-dedup's job
     ex = {r["content_hash"]: r["n_copies"] for r in q_dedup_exact(spark, sf).collect()}
     assert 1000 in ex.values()
+
+
+def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
+    """The multimodal kernels must work over a REAL parquet binary column
+    (not just in-query synthesized bytes): write (doc_id, payload: binary)
+    with non-UTF8 bytes, scan it back, and drive both mapInPandas kernels —
+    the Arrow batch contract is the production path for image blobs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.operators.multimodal import (
+        DECODED_META,
+        TRANSFORM_META,
+        _decode_batches,
+        _transform_batches,
+    )
+
+    payloads = [bytes([i % 256 for i in range(n)]) for n in (0, 1, 17, 300, 4096)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(payloads)), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    path = str(tmp_path / "blobs.parquet")
+    pq.write_table(tbl, path)
+
+    df = spark.read.parquet(path)
+    assert dict(df.dtypes)["payload"] == "binary"
+
+    meta = {r["doc_id"]: r for r in df.mapInPandas(_decode_batches, schema=DECODED_META).collect()}
+    feats = {r["doc_id"]: r for r in df.mapInPandas(_transform_batches, schema=TRANSFORM_META).collect()}
+    for i, p in enumerate(payloads):
+        assert meta[i]["n_bytes"] == len(p)
+        assert meta[i]["width"] == len(p) % 640 + 1
+        assert feats[i]["byte_sum"] == sum(p)
+        assert feats[i]["first_b"] == (p[0] if p else 0)
+        assert feats[i]["last_b"] == (p[-1] if p else 0)
+        assert feats[i]["out_bytes"] == 224 * 224 * 3
