@@ -66,6 +66,9 @@ EXTENDED = [
     "dedup_simhash",
     "text_rolling_hash",
     "ann_ivf_kmeans",
+    "ocp_aws_pipeline",
+    "dedup_embedding_cosine",
+    "pack_tokens",
 ]
 
 N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))

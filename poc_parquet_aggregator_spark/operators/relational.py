@@ -1431,8 +1431,14 @@ def q_ocp_aws_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         _isum(F.coalesce(F.col("share"), F.lit(0.0))).alias("share_sum"),
         F.min("matched_tag").alias("first_tag"),
     )
-    total = attributed.agg(
-        F.count("*").alias("n_parts"), F.sum("capacity").alias("total_capacity")
+    # TOTAL row derived from the TINY per-type frame, not from `attributed`:
+    # aggregating `attributed` again would re-execute the whole match →
+    # cascade → capacity upstream a second time (measured: 60 shuffles / 18
+    # scans in the plan vs 33/10 this way) — sums of per-type counts and
+    # capacities are the same numbers
+    total = per_type.agg(
+        F.sum("n_parts").alias("n_parts"),
+        F.sum("total_capacity").alias("total_capacity"),
     ).withColumn("match_type", F.lit("TOTAL"))
     out = per_type.unionByName(total, allowMissingColumns=True)
     return out.withColumn(

@@ -34,10 +34,17 @@ def main() -> None:
         scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         scan_widths = [len(s.split(",")) if s else 0 for s in scans]
-        wsc = plan.count("WholeStageCodegen")
+        # under AQE the pre-execution plan carries no codegen annotation:
+        # force THIS Dataset's own queryExecution (collect — a write would
+        # execute a copy and leave df's plan non-final), then count "*(N)"
+        # spans in the FINAL plan + runtime ReusedExchange dedup
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        wsc = len(set(re.findall(r"\*\((\d+)\)", final)))
+        reused = final.count("ReusedExchange")
         print(
             f"{name:28s} shuffles={n_shuffles:2d} joins={','.join(sorted(set(joins))) or '-':30s} "
-            f"scan_cols={scan_widths} pushed={[p for p in pushed if p][:2]} wsc={wsc}"
+            f"scan_cols={scan_widths} pushed={[p for p in pushed if p][:2]} wsc={wsc} reused_exch={reused}"
         )
         if verbose:
             print(plan)
