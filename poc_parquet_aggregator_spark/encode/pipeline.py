@@ -66,6 +66,8 @@ META_SCHEMA = T.StructType(
         T.StructField("codecs_json", T.StringType(), False),
         T.StructField("doc_id_min", T.StringType(), True),
         T.StructField("doc_id_max", T.StringType(), True),
+        T.StructField("n_tok_min", T.LongType(), True),
+        T.StructField("n_tok_max", T.LongType(), True),
     ]
 )
 
@@ -82,6 +84,8 @@ _META_ARROW_SCHEMA = pa.schema(
         pa.field("codecs_json", pa.string()),
         pa.field("doc_id_min", pa.string()),
         pa.field("doc_id_max", pa.string()),
+        pa.field("n_tok_min", pa.int64()),
+        pa.field("n_tok_max", pa.int64()),
     ]
 )
 
@@ -92,11 +96,15 @@ _ENC_ARROW_SCHEMA = pa.schema(
         pa.field("n_tokens", pa.int64()),
         pa.field("bytes_in", pa.int64()),
         pa.field("bytes_out", pa.int64()),
-        # chunk-level zone map: selective decode skips whole chunks by
-        # doc_id range without touching the blobs (parquet row-group stats
-        # on these columns prune at the scan already)
+        # chunk-level zone maps: selective decode skips whole chunks by
+        # doc_id range or sequence-length range without touching the blobs
+        # (parquet row-group stats on these columns prune at the scan
+        # already). n_tok bounds serve the training-pipeline's
+        # length-bucketed reads (curriculum/packing by length).
         pa.field("doc_id_min", pa.string()),
         pa.field("doc_id_max", pa.string()),
+        pa.field("n_tok_min", pa.int32()),
+        pa.field("n_tok_max", pa.int32()),
         pa.field("doc_id_blob", pa.large_binary()),
         pa.field("source_blob", pa.large_binary()),
         pa.field("tokens_blob", pa.large_binary()),
@@ -345,6 +353,8 @@ def _encode_chunk_row(
         "chunk_crc": crc,
         "doc_id_min": mm["min"],
         "doc_id_max": mm["max"],
+        "n_tok_min": int(lengths.min()) if len(lengths) else 0,
+        "n_tok_max": int(lengths.max()) if len(lengths) else 0,
         "n_docs": len(lengths),
         "n_tokens": len(flat),
         "bytes_in": bytes_in,
@@ -423,6 +433,8 @@ def _make_encode_fn(
                     "codecs_json": json.dumps(codecs, sort_keys=True),
                     "doc_id_min": min((r["doc_id_min"] for r in rows), default=None),
                     "doc_id_max": max((r["doc_id_max"] for r in rows), default=None),
+                    "n_tok_min": min((r["n_tok_min"] for r in rows), default=None),
+                    "n_tok_max": max((r["n_tok_max"] for r in rows), default=None),
                 }
             )
         if out_rows:
@@ -782,6 +794,17 @@ def encode_dataset(
                 "doc_id_max": max(
                     (r["doc_id_max"] for r in rows if r["doc_id_max"]), default=None
                 ),
+                # file-level LENGTH bounds: length-bucketed reads prune whole
+                # files from the manifest before any footer is opened, the
+                # same way doc_id range/point reads do
+                "n_tok_min": min(
+                    (r["n_tok_min"] for r in rows if r["n_tok_min"] is not None),
+                    default=None,
+                ),
+                "n_tok_max": max(
+                    (r["n_tok_max"] for r in rows if r["n_tok_max"] is not None),
+                    default=None,
+                ),
                 "snapshot": _snapshot(path_of[stem]),
                 "committed_at": time.time(),
             }
@@ -815,6 +838,7 @@ def read_decoded(
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
     doc_ids: list[str] | None = None,
+    n_tok_range: tuple[int, int] | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Read the encoded table back as (doc_id, tokens, n_tok, source).
@@ -831,6 +855,12 @@ def read_decoded(
         the parquet scan (row-group stats) — blobs of skipped chunks are
         never read, let alone decoded. An exact row filter is applied
         after decode.
+      * ``n_tok_range``: sequence-LENGTH zone maps (n_tok_min/max per
+        chunk) — the training-pipeline read pattern (length-bucketed
+        sampling, curriculum by length) prunes chunks the same way; the
+        exact per-row filter then needs only the lengths stream, not the
+        token values. Encodes that predate the length zone map simply
+        skip the chunk prune (exact filter still applies).
     """
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
     # manifest-level file pruning: each lineage record carries the file's
@@ -856,6 +886,17 @@ def read_decoded(
             or (rec["doc_id_max"] >= want_lo and rec["doc_id_min"] <= want_hi)
         ]
         enc = enc.filter(F.col("file_stem").isin(keep))
+    if n_tok_range:
+        # manifest-level file pruning by LENGTH bounds (records from before
+        # the length zone map lack them and are conservatively kept)
+        keep_t = [
+            stem
+            for stem, rec in read_manifest(out_dir).items()
+            if rec.get("n_tok_min") is None
+            or rec.get("n_tok_max") is None
+            or (rec["n_tok_max"] >= n_tok_range[0] and rec["n_tok_min"] <= n_tok_range[1])
+        ]
+        enc = enc.filter(F.col("file_stem").isin(keep_t))
     if sources and read_layout(out_dir) == "by-source":
         cond = None
         for s in sources:
@@ -865,6 +906,11 @@ def read_decoded(
     if doc_id_range:
         lo, hi = doc_id_range
         enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
+    if n_tok_range and "n_tok_max" in enc.columns:
+        enc = enc.filter(
+            (F.col("n_tok_max") >= n_tok_range[0])
+            & (F.col("n_tok_min") <= n_tok_range[1])
+        )
     if doc_ids:
         # point lookups: a chunk survives only if SOME requested id falls in
         # its zone map — an OR of per-id between-predicates that parquet
@@ -895,6 +941,8 @@ def read_decoded(
         need.add("source")
     if doc_id_range or doc_ids:
         need.add("doc_id")
+    if n_tok_range:
+        need.add("n_tok")
     dec_cols = [c for c in all_names if c in need]
     # prune the PARQUET SCAN to only the blobs the projection decodes —
     # unselected blob columns are never read off disk, let alone parsed
@@ -920,6 +968,10 @@ def read_decoded(
         )
     if doc_ids:
         dec = dec.filter(F.col("doc_id").isin(list(set(doc_ids))))
+    if n_tok_range:
+        dec = dec.filter(
+            (F.col("n_tok") >= n_tok_range[0]) & (F.col("n_tok") <= n_tok_range[1])
+        )
     if sel != dec_cols:
         dec = dec.select(*sel)
     return dec

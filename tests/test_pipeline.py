@@ -605,3 +605,65 @@ def test_jdbc_writer_seam_failure_modes(spark):
         write_summary_jdbc(df, "jdbc:exotic://h/db", "t")
     with pytest.raises(RuntimeError, match="not on the classpath"):
         write_summary_jdbc(df, "jdbc:postgresql://h/db", "t")
+
+
+def test_length_zone_map_pruned_read(spark, token_dir, tmp_path):
+    """n_tok zone maps: a length-bucketed read (the training dataloader's
+    curriculum/length-sampling pattern) prunes chunks via chunk-level
+    n_tok_min/max before any blob is decoded, and the exact per-row filter
+    matches a post-hoc filter of the full decode."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    full = read_decoded(spark, out).select("doc_id", "n_tok")
+    want = {r["doc_id"] for r in full.filter(F.col("n_tok") <= 8).collect()}
+    got_df = read_decoded(spark, out, n_tok_range=(1, 8), columns=["doc_id", "n_tok"])
+    got = {r["doc_id"] for r in got_df.collect()}
+    assert got == want and len(got) > 0
+    # the chunk-level prune is in the plan (scan-side filter on the zone map)
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "n_tok_max" in plan and "n_tok_min" in plan
+
+
+def test_length_bounds_prune_files_via_manifest(spark, tmp_path):
+    """Files whose manifest n_tok bounds don't overlap the requested length
+    band are dropped BEFORE the scan (the doc_id manifest-prune analog)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+    from poc_parquet_aggregator_spark.sources import token_table_schema
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write(name, start, length, n):
+        toks = [[7] * length for _ in range(n)]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([f"doc-{start + i:012d}" for i in range(n)]),
+                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([length] * n, type=pa.int32()),
+                "source": pa.array(["s"] * n),
+            },
+            schema=token_table_schema(),
+        )
+        pq.write_table(tbl, f"{src}/{name}.parquet", compression="zstd")
+
+    write("short", 0, 2, 50)
+    write("long", 100, 100, 50)
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, src, out)
+    rec = read_manifest(out)
+    assert rec["short"]["n_tok_min"] == rec["short"]["n_tok_max"] == 2
+    assert rec["long"]["n_tok_min"] == rec["long"]["n_tok_max"] == 100
+
+    df = read_decoded(spark, out, n_tok_range=(90, 200), columns=["doc_id", "n_tok"])
+    assert df.count() == 50
+    # the 'short' file is pruned at the manifest: its stem is absent from
+    # the isin() file filter in the plan
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "long" in plan and "short" not in plan
