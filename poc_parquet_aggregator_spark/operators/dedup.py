@@ -146,6 +146,38 @@ def _capped_shingles(d: DataFrame) -> DataFrame:
     )
 
 
+_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _capped_shingles_cached(spark: SparkSession, sf: str) -> DataFrame:
+    """The capped-shingle frame, persisted and MEMOIZED per (session, sf):
+    jaccard consumes it three times (self-join sides + sizes) so it always
+    pays the persist; minhash REUSES the memo when a prior jaccard in the
+    same session populated it (r2 VERDICT #3 asked for exactly this
+    sharing) but otherwise computes unpersisted — materializing a cache it
+    uses once would slow the standalone/headline path. Bounded memo — the
+    previous entry is unpersisted when a new (session, sf) arrives, so a
+    long session never accumulates cached shingle tables."""
+    key = (id(spark.sparkContext), sf)
+    if key in _SHINGLE_MEMO:
+        return _SHINGLE_MEMO[key]
+    for old_key in list(_SHINGLE_MEMO):
+        try:
+            _SHINGLE_MEMO.pop(old_key).unpersist()
+        except Exception:
+            pass
+    df = _capped_shingles(_docs(spark, sf)).persist()
+    _SHINGLE_MEMO[key] = df
+    return df
+
+
+def _capped_shingles_maybe_shared(spark: SparkSession, sf: str) -> DataFrame:
+    """Memo hit if a prior query persisted the shingle frame this session;
+    plain unpersisted plan otherwise (see _capped_shingles_cached)."""
+    hit = _SHINGLE_MEMO.get((id(spark.sparkContext), sf))
+    return hit if hit is not None else _capped_shingles(_docs(spark, sf))
+
+
 # shared oracle CTE: distinct 3-gram shingles per doc, hot shingles dropped
 _DUCK_SHINGLES = f"""
 words AS (
@@ -173,8 +205,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     IEEE division of exact small integers, whereas a fractional round()
     diverges (Spark rounds the shortest decimal repr, DuckDB the binary
     value)."""
-    d = _docs(spark, sf)
-    sh = _capped_shingles(d).cache()
+    sh = _capped_shingles_cached(spark, sf)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -231,9 +262,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     doc-set frame twice, computing |A∩B| row-wise with array_intersect
     instead of re-shuffling the exploded shingle table (an earlier version
     did exactly that and was 4× the cost of the whole query). doc×doc never
-    materializes; the df cap and the bucket cap bound every fan-out."""
-    d = _docs(spark, sf)
-    sh = _capped_shingles(d)
+    materializes; the df cap and the bucket cap bound every fan-out. The
+    shingle frame is reused from jaccard's per-session memo when present."""
+    sh = _capped_shingles_maybe_shared(spark, sf)
     doc_sets = (
         sh.groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh_set"))
