@@ -120,16 +120,28 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, flo
     # + SMJ codegen paths once so the first measured query isn't paying JIT
     for wq in ("a1_daily_rollup", "star_join_revenue"):
         _force(QUERIES[wq](spark, "/root/testdata/sf0.001"))
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(QUERIES[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
-    ext: dict[str, float] = {}
-    for name in EXTENDED:
-        t0 = time.time()
-        _force(QUERIES[name](spark, sf_dir))
-        ext[name] = round(time.time() - t0, 3)
+
+    def timed_median(name: str) -> float:
+        # single-shot readings swung ±3x on this host (r02→r03 headline
+        # drift was mostly noise, e.g. one multimodal run at 9.2 s vs 2.5 s
+        # minutes apart); per-query MEDIAN of 3 runs is symmetric — no
+        # best-of cherry-pick — and absorbs first-run plan compile too
+        from poc_parquet_aggregator_spark.operators import dedup as _dedup
+
+        walls = []
+        for _ in range(3):
+            # purge the cross-query shingle memo so every timed run is COLD
+            # — otherwise runs 2-3 of the dedup queries would measure a
+            # cache hit and the median would flatter them
+            for k in list(_dedup._SHINGLE_MEMO):
+                _dedup._SHINGLE_MEMO.pop(k).unpersist()
+            t0 = time.time()
+            _force(QUERIES[name](spark, sf_dir))
+            walls.append(time.time() - t0)
+        return round(statistics.median(walls), 3)
+
+    out = {name: timed_median(name) for name in HEADLINE}
+    ext = {name: timed_median(name) for name in EXTENDED}
     stop_spark()
     return out, ext
 
