@@ -10,6 +10,7 @@ Commands:
   stream  --input DIR --out DIR           (AvailableNow incremental encode)
   manifest --out DIR                       (lineage summary)
   compact --out DIR                        (fold manifest JSONs into JSONL segment)
+  compact-data --out DIR [--max-parts K]   (merge multi-part encoded stems)
 """
 
 from __future__ import annotations
@@ -69,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--out", required=True)
 
+    cd = sub.add_parser("compact-data")
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--max-parts", type=int, default=1)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -84,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
         from .encode import compact_manifest
 
         print(json.dumps(compact_manifest(args.out)))
+        return 0
+
+    if args.cmd == "compact-data":
+        from .encode import compact_encoded
+
+        print(json.dumps(compact_encoded(args.out, max_parts=args.max_parts)))
         return 0
 
     if args.cmd == "manifest":

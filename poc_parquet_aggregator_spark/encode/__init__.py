@@ -1,5 +1,6 @@
 from .chunk import decode_token_chunk, encode_token_chunk
 from .pipeline import (
+    compact_encoded,
     compact_manifest,
     decode_verify,
     encode_dataset,
@@ -17,4 +18,5 @@ __all__ = [
     "read_decoded",
     "read_manifest",
     "compact_manifest",
+    "compact_encoded",
 ]

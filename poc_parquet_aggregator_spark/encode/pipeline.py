@@ -612,6 +612,71 @@ def compact_manifest(out_dir: str) -> dict:
     return {"records": len(records), "absorbed": len(loose), "segments": 1}
 
 
+def compact_encoded(out_dir: str, max_parts: int = 1) -> dict:
+    """Merge multi-part encoded stems into one part each — the small-file
+    maintenance pass. Spark splits a large input file across tasks, so one
+    stem can hold several small parquet parts; at the 10^12-sequence target
+    that's the classic small-file problem on the READ side (footer/open
+    cost per part). Chunk rows are opaque, already-encoded blobs, so
+    compaction is a driver-side pyarrow concat — NO re-encode, checksums
+    unchanged.
+
+    Crash safety (dir-swap protocol): the merged dir is staged under a
+    hidden name (Spark's file index ignores dot/underscore paths), then
+    ``stem → .old`` and ``.staged → stem`` renames swap it in. A crash
+    between the two renames leaves ``.compact-old-<stem>`` without a live
+    stem dir; the ROLLBACK SWEEP at the start of every compact_encoded run
+    restores it (same recovery-on-next-maintenance model as the manifest
+    compactor). The per-stem manifest record is re-written (loose JSON
+    overrides any compacted segment) with the new part count.
+    """
+    data_dir = os.path.join(out_dir, "data")
+    # rollback sweep: restore any stem whose swap was interrupted
+    rolled_back = 0
+    for old in glob.glob(os.path.join(data_dir, ".compact-old-*")):
+        stem = os.path.basename(old)[len(".compact-old-") :]
+        live = os.path.join(data_dir, f"file_stem={stem}")
+        if not os.path.exists(live):
+            os.rename(old, live)
+            rolled_back += 1
+        else:
+            shutil.rmtree(old)
+    for stale in glob.glob(os.path.join(data_dir, ".compact-staged-*")):
+        shutil.rmtree(stale)
+
+    records = read_manifest(out_dir)
+    mdir = _manifest_dir(out_dir)
+    compacted = 0
+    for stem_dir in sorted(glob.glob(os.path.join(data_dir, "file_stem=*"))):
+        stem = os.path.basename(stem_dir).split("=", 1)[1]
+        parts = sorted(glob.glob(os.path.join(stem_dir, "*.parquet")))
+        if len(parts) <= max_parts:
+            continue
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        staged = os.path.join(data_dir, f".compact-staged-{stem}")
+        os.makedirs(staged, exist_ok=True)
+        pq.write_table(
+            tbl,
+            os.path.join(staged, f"part-{uuid.uuid4().hex}.parquet"),
+            compression="none",
+            use_dictionary=False,
+        )
+        old = os.path.join(data_dir, f".compact-old-{stem}")
+        os.rename(stem_dir, old)
+        os.rename(staged, stem_dir)
+        shutil.rmtree(old)
+        if stem in records:
+            rec = dict(records[stem])
+            rec["n_parts"] = 1
+            rec["compacted_at"] = time.time()
+            tmp = os.path.join(mdir, f".{stem}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f, sort_keys=True)
+            os.rename(tmp, os.path.join(mdir, f"{stem}.json"))
+        compacted += 1
+    return {"stems_compacted": compacted, "rolled_back": rolled_back}
+
+
 def _snapshot(path: str) -> dict:
     """Input-file snapshot for exact resume: size AND mtime, so an in-place
     rewrite to the same byte count still invalidates the commit."""

@@ -667,3 +667,56 @@ def test_length_bounds_prune_files_via_manifest(spark, tmp_path):
     # the isin() file filter in the plan
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "long" in plan and "short" not in plan
+
+
+def test_compact_encoded_merges_parts_and_recovers(spark, token_dir, tmp_path):
+    """Small-file maintenance: multi-part stems merge to one part with NO
+    re-encode (bit-identical decode, manifest checksum untouched, resume
+    still skips), and an interrupted dir swap rolls back on the next run."""
+    import glob as g
+
+    import pyarrow.parquet as pq_
+
+    from poc_parquet_aggregator_spark.encode import compact_encoded
+    from poc_parquet_aggregator_spark.sources.tokens import generate_token_table
+
+    # inputs with SMALL row groups: Spark can only split a parquet file at
+    # row-group boundaries, so multi-part stems need multi-row-group files
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for start in (0, 2000, 4000):
+        tbl = generate_token_table(2000, start_id=start)
+        pq_.write_table(
+            tbl, f"{src}/tokens-{start:012d}.parquet",
+            compression="zstd", row_group_size=500,
+        )
+    token_dir = src
+    out = str(tmp_path / "enc")
+    # tiny splits force Spark to cut each input file into several tasks →
+    # several parts per stem
+    encode_dataset(spark, token_dir, out, target_tasks=12)
+    stems = sorted(g.glob(out + "/data/file_stem=*"))
+    n_parts_before = [len(g.glob(s + "/*.parquet")) for s in stems]
+    assert max(n_parts_before) > 1, n_parts_before
+    rec_before = read_manifest(out)
+
+    m = compact_encoded(out)
+    assert m["stems_compacted"] == sum(1 for n in n_parts_before if n > 1)
+    assert all(len(g.glob(s + "/*.parquet")) == 1 for s in stems)
+    assert decode_verify(spark, token_dir, out)["bit_identical"]
+    rec_after = read_manifest(out)
+    for stem, rec in rec_after.items():
+        assert rec["checksum"] == rec_before[stem]["checksum"]
+        assert rec["n_parts"] == 1
+    # resume unaffected: snapshots still match, nothing re-encodes
+    m2 = encode_dataset(spark, token_dir, out)
+    assert m2["files_encoded"] == 0
+
+    # crash simulation: stem renamed away (between the two swap renames)
+    stem_dir = stems[0]
+    stem = os.path.basename(stem_dir).split("=", 1)[1]
+    os.rename(stem_dir, out + f"/data/.compact-old-{stem}")
+    m3 = compact_encoded(out)
+    assert m3["rolled_back"] == 1
+    assert os.path.exists(stem_dir)
+    assert decode_verify(spark, token_dir, out)["bit_identical"]
