@@ -720,3 +720,44 @@ def test_compact_encoded_merges_parts_and_recovers(spark, token_dir, tmp_path):
     assert m3["rolled_back"] == 1
     assert os.path.exists(stem_dir)
     assert decode_verify(spark, token_dir, out)["bit_identical"]
+
+
+def test_selective_reads_equal_posthoc_filters_randomized(spark, token_dir, tmp_path):
+    """Randomized equivalence sweep: for seeded random length bands and
+    doc_id ranges, the pruned selective read returns EXACTLY the rows a
+    post-hoc filter of the full decode returns (composition included)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    full = read_decoded(spark, out).select("doc_id", "n_tok", "source").cache()
+    full.count()
+    rng = random.Random(7)
+    for _ in range(6):
+        lo_t = rng.randint(1, 2000)
+        hi_t = lo_t + rng.randint(0, 2500)
+        a = rng.randint(0, N_DOCS - 1)
+        b = rng.randint(0, N_DOCS - 1)
+        lo_d, hi_d = f"doc-{min(a,b):012d}", f"doc-{max(a,b):012d}"
+        want = {
+            r["doc_id"]
+            for r in full.filter(
+                (F.col("n_tok") >= lo_t) & (F.col("n_tok") <= hi_t)
+                & (F.col("doc_id") >= lo_d) & (F.col("doc_id") <= hi_d)
+            ).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in read_decoded(
+                spark, out,
+                doc_id_range=(lo_d, hi_d),
+                n_tok_range=(lo_t, hi_t),
+                columns=["doc_id"],
+            ).collect()
+        }
+        assert got == want, (lo_t, hi_t, lo_d, hi_d)
+    full.unpersist()
