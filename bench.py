@@ -126,15 +126,14 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, flo
         # drift was mostly noise, e.g. one multimodal run at 9.2 s vs 2.5 s
         # minutes apart); per-query MEDIAN of 3 runs is symmetric — no
         # best-of cherry-pick — and absorbs first-run plan compile too
-        from poc_parquet_aggregator_spark.operators import dedup as _dedup
+        from poc_parquet_aggregator_spark.operators.dedup import purge_frame_memo
 
         walls = []
         for _ in range(3):
-            # purge the cross-query shingle memo so every timed run is COLD
-            # — otherwise runs 2-3 of the dedup queries would measure a
-            # cache hit and the median would flatter them
-            for k in list(_dedup._SHINGLE_MEMO):
-                _dedup._SHINGLE_MEMO.pop(k).unpersist()
+            # purge the cross-query frame memo so every timed run is COLD —
+            # otherwise runs 2-3 of the dedup queries would measure a cache
+            # hit and the median would flatter them
+            purge_frame_memo()
             t0 = time.time()
             _force(QUERIES[name](spark, sf_dir))
             walls.append(time.time() - t0)

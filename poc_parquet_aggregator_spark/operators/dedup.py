@@ -146,35 +146,54 @@ def _capped_shingles(d: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+# Bounded persisted-frame memo, keyed (kind, session, sf). Two purposes:
+# share expensive intermediate frames ACROSS queries in one session (the
+# capped-shingle frame feeds both jaccard and minhash — r2 VERDICT #3), and
+# bound cache growth: repeated invocations of the same query reuse ONE
+# persisted frame instead of stacking a fresh .cache() per call (the gate
+# runs 50 queries and the bench re-runs each 3× in one session — the r2
+# verdict flagged exactly this never-unpersisted accumulation on j12).
+# When a new (kind, session, sf) arrives, the previous entry of the same
+# kind is unpersisted.
+_FRAME_MEMO: dict[tuple[str, int, str], DataFrame] = {}
+
+
+def _memo_frame(kind: str, spark: SparkSession, sf: str, build) -> DataFrame:
+    key = (kind, id(spark.sparkContext), sf)
+    if key in _FRAME_MEMO:
+        return _FRAME_MEMO[key]
+    for old_key in list(_FRAME_MEMO):
+        if old_key[0] == kind:
+            try:
+                _FRAME_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass
+    df = build().persist()
+    _FRAME_MEMO[key] = df
+    return df
+
+
+def purge_frame_memo() -> None:
+    """Unpersist and drop every memoized frame (bench uses this so each
+    timed run is cold)."""
+    for key in list(_FRAME_MEMO):
+        try:
+            _FRAME_MEMO.pop(key).unpersist()
+        except Exception:
+            pass
 
 
 def _capped_shingles_cached(spark: SparkSession, sf: str) -> DataFrame:
-    """The capped-shingle frame, persisted and MEMOIZED per (session, sf):
-    jaccard consumes it three times (self-join sides + sizes) so it always
-    pays the persist; minhash REUSES the memo when a prior jaccard in the
-    same session populated it (r2 VERDICT #3 asked for exactly this
-    sharing) but otherwise computes unpersisted — materializing a cache it
-    uses once would slow the standalone/headline path. Bounded memo — the
-    previous entry is unpersisted when a new (session, sf) arrives, so a
-    long session never accumulates cached shingle tables."""
-    key = (id(spark.sparkContext), sf)
-    if key in _SHINGLE_MEMO:
-        return _SHINGLE_MEMO[key]
-    for old_key in list(_SHINGLE_MEMO):
-        try:
-            _SHINGLE_MEMO.pop(old_key).unpersist()
-        except Exception:
-            pass
-    df = _capped_shingles(_docs(spark, sf)).persist()
-    _SHINGLE_MEMO[key] = df
-    return df
+    """jaccard consumes the shingle frame three times (self-join sides +
+    sizes) so it always pays the persist."""
+    return _memo_frame("shingles", spark, sf, lambda: _capped_shingles(_docs(spark, sf)))
 
 
 def _capped_shingles_maybe_shared(spark: SparkSession, sf: str) -> DataFrame:
     """Memo hit if a prior query persisted the shingle frame this session;
-    plain unpersisted plan otherwise (see _capped_shingles_cached)."""
-    hit = _SHINGLE_MEMO.get((id(spark.sparkContext), sf))
+    plain unpersisted plan otherwise — minhash must not pay a persist for a
+    frame it reads once (measured ~2× on its standalone path)."""
+    hit = _FRAME_MEMO.get(("shingles", id(spark.sparkContext), sf))
     return hit if hit is not None else _capped_shingles(_docs(spark, sf))
 
 
@@ -265,11 +284,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     materializes; the df cap and the bucket cap bound every fan-out. The
     shingle frame is reused from jaccard's per-session memo when present."""
     sh = _capped_shingles_maybe_shared(spark, sf)
-    doc_sets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh_set"))
-        .withColumn("n_sh", F.size("sh_set"))
-        .cache()
+    doc_sets = _memo_frame(
+        "doc_sets",
+        spark,
+        sf,
+        lambda: (
+            sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .withColumn("n_sh", F.size("sh_set"))
+        ),
     )
     # 8 signatures from TWO md5 evaluations per shingle, not eight: md5's
     # 32 hex chars split into four independent 8-hex (32-bit) min-hash
