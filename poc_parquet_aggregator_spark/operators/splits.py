@@ -1,0 +1,83 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+Beyond the reference's inventory (like packing.py): once a corpus is
+deduped and scored, a training pipeline needs train/val/test assignment
+and per-source sampling weights. Both are THRESHOLD-HASH operators —
+``md5(salt|doc_id)`` mapped to a uniform [0,1) — because at 10^12 rows the
+alternatives break down:
+
+  * RNG-based sampling (``df.sample``) is partition-order-dependent: a
+    repartition, a resumed job, or AQE re-planning changes the sample.
+  * A persisted assignment table is a join against every read.
+
+Threshold hashing is stable across runs/engines/partitionings, needs no
+shuffle or state, and is MONOTONE: raising a fraction only ADDS rows
+(sample(0.1) ⊆ sample(0.2)), so a val set can grow without churning
+membership — the property curriculum schedules and eval-set freezes rely
+on. The salt namespaces independent draws (a new salt = a fresh
+independent assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 32)
+
+
+def _unit_hash(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1): first 8 md5 hex digits / 2^32."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col)), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_DENOM)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.01,
+    test_frac: float = 0.0,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column ∈ {train, val, test} by threshold hash of the
+    id — same row lands in the same split on every run, engine, and
+    partitioning; no shuffle, codegen'd."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac > 1:
+        raise ValueError("fractions must be ≥0 and sum to ≤1")
+    u = _unit_hash(F.col(id_col), salt)
+    split = (
+        F.when(u < val_frac, "val")
+        .when(u < val_frac + test_frac, "test")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep each row iff its unit hash < the fraction for its key — the
+    per-source mixing-weights operator (e.g. upweight curated sources,
+    downsample crawl). Deterministic and monotone per key; keys absent
+    from ``fractions`` fall back to ``default_fraction``. One scan, no
+    shuffle, no RNG state."""
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} out of [0,1]: {v}")
+    pairs: list[Column] = []
+    for k, v in sorted(fractions.items()):
+        pairs += [F.lit(k), F.lit(float(v))]
+    frac = (
+        F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(key_col)),
+            F.lit(float(default_fraction)),
+        )
+        if pairs
+        else F.lit(float(default_fraction))
+    )
+    return df.filter(_unit_hash(F.col(id_col), salt) < frac)

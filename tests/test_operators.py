@@ -148,3 +148,46 @@ def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
         assert feats[i]["first_b"] == (p[0] if p else 0)
         assert feats[i]["last_b"] == (p[-1] if p else 0)
         assert feats[i]["out_bytes"] == 224 * 224 * 3
+
+
+def test_deterministic_split_and_stratified_sample(spark):
+    """Threshold-hash split/sample: stable across runs, proportions close,
+    and MONOTONE (raising a fraction only adds rows) — the property RNG
+    sampling lacks under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.splits import (
+        deterministic_split,
+        stratified_sample,
+    )
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "crawl").otherwise("curated").alias("source"),
+    )
+    s1 = deterministic_split(df, val_frac=0.05, test_frac=0.02)
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["val"] / 20000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20000 - 0.02) < 0.01
+    # stability: identical assignment on a re-run AND after repartition
+    s2 = deterministic_split(df.repartition(17), val_frac=0.05, test_frac=0.02)
+    a = {(r["doc_id"], r["split"]) for r in s1.collect()}
+    b = {(r["doc_id"], r["split"]) for r in s2.collect()}
+    assert a == b
+
+    small = stratified_sample(df, {"crawl": 0.1, "curated": 0.5})
+    big = stratified_sample(df, {"crawl": 0.3, "curated": 0.5})
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids <= big_ids  # monotone: raising a fraction only ADDS
+    by_src = {r["source"]: r["n"] for r in small.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(by_src["crawl"] / (20000 / 3) - 0.1) < 0.03
+    assert abs(by_src["curated"] / (20000 * 2 / 3) - 0.5) < 0.03
+    # unknown keys fall back to default_fraction=0 → dropped
+    assert stratified_sample(df, {"nope": 1.0}).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        deterministic_split(df, val_frac=0.9, test_frac=0.2)
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"crawl": 1.5})
