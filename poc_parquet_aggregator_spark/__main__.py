@@ -5,7 +5,7 @@ Commands:
   encode  --input DIR --out DIR [--by-source] [--n-salts K] [--zstd-level L]
           [--cores N]
   decode  --out DIR [--sources a,b] [--doc-id-min X --doc-id-max Y]
-          [--columns a,b] [--show N]
+          [--n-tok-min A --n-tok-max B] [--columns a,b] [--show N]
   verify  --input DIR --out DIR [--fraction F] [--cores N]
   stream  --input DIR --out DIR           (AvailableNow incremental encode)
   manifest --out DIR                       (lineage summary)
@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--doc-id-min")
     d.add_argument("--doc-id-max")
     d.add_argument("--columns", help="comma-separated projection (pruned decode)")
+    d.add_argument("--n-tok-min", type=int)
+    d.add_argument("--n-tok-max", type=int)
     d.add_argument("--show", type=int, default=5)
     d.add_argument("--cores", type=int, default=8)
 
@@ -136,8 +138,14 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             )
             cols = args.columns.split(",") if args.columns else None
+            trng = (
+                (args.n_tok_min, args.n_tok_max)
+                if args.n_tok_min is not None and args.n_tok_max is not None
+                else None
+            )
             df = read_decoded(
-                spark, args.out, sources=sources, doc_id_range=rng, columns=cols
+                spark, args.out, sources=sources, doc_id_range=rng,
+                n_tok_range=trng, columns=cols,
             )
             print(json.dumps({"rows": df.count()}))
             if args.show:

@@ -17,7 +17,8 @@ worst-case candidate counts on pathological corpora:
   * an LSH/pigeonhole bucket-size cap drops degenerate buckets larger than
     ``_MAX_BUCKET`` docs before the bucket self-join.
 Both caps are mirrored in the DuckDB oracles, so the gate checks the capped
-semantics end to end. The only broadcast is the tiny hash-seed dimension.
+semantics end to end. The only broadcasts are constant-size dimensions
+(the enabled-seed set; the 30-vector hyperplane row for embedding LSH).
 """
 
 from __future__ import annotations
