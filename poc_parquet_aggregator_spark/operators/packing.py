@@ -59,21 +59,38 @@ FROM c GROUP BY 1, 2
 """
 
 
-def pack_token_examples(df: DataFrame, ctx_len: int = 2048) -> DataFrame:
+def pack_token_examples(
+    df: DataFrame, ctx_len: int = 2048, n_streams: int = 1
+) -> DataFrame:
     """Engine-side packing over a real sequence table
     (doc_id, tokens, n_tok, source): returns one row per training example
     with the concatenated token array (flatten of the pack's docs in
     doc_id order), its length, and the member count. Same window-cumsum
     assignment as q_pack_sequences; the concat is a JVM flatten of
-    collect_list over the pack — no Python."""
-    w = Window.partitionBy("source").orderBy("doc_id")
+    collect_list over the pack — no Python.
+
+    ``n_streams`` is the SKEW control at scale: the window partitions by
+    source, and this corpus's head source carries 60% of all tokens — at
+    10^12 sequences that is one reducer sorting 60% of the table. With
+    n_streams > 1 each source splits into ``crc32(doc_id) % n_streams``
+    sub-streams packed independently (same salting move as
+    encode_dataset_by_source): deterministic, resume-stable, and packs
+    simply never span sub-streams — packing imposes no cross-doc order
+    anyway, so the only cost is ≤ one partial pack per extra stream."""
+    keys = ["source"]
+    if n_streams > 1:
+        df = df.withColumn(
+            "stream", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(n_streams))
+        )
+        keys = ["source", "stream"]
+    w = Window.partitionBy(*keys).orderBy("doc_id")
     start = (
         F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         - F.col("n_tok")
     )
     packed = df.withColumn("pack_id", F.floor(start / F.lit(float(ctx_len))))
     return (
-        packed.groupBy("source", "pack_id")
+        packed.groupBy(*keys, "pack_id")
         .agg(
             F.flatten(
                 F.array_sort(

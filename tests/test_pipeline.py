@@ -761,3 +761,39 @@ def test_selective_reads_equal_posthoc_filters_randomized(spark, token_dir, tmp_
         }
         assert got == want, (lo_t, hi_t, lo_d, hi_d)
     full.unpersist()
+
+
+def test_pack_token_examples_salted_streams(spark):
+    """n_streams > 1 (the skew control for the 60% head source): every
+    token is preserved exactly once, docs are never split, per-stream packs
+    obey the boundary rule, and assignment is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.packing import pack_token_examples
+    from poc_parquet_aggregator_spark.sources import generate_token_table
+
+    df = spark.createDataFrame(generate_token_table(500, seed=11).to_pandas())
+    packs = pack_token_examples(df, ctx_len=2048, n_streams=4).cache()
+    rows = packs.collect()
+    assert {r["stream"] for r in rows} == {0, 1, 2, 3}
+    assert all(len(r["tokens"]) == r["n_tok"] for r in rows)
+    # token multiset preserved exactly (sorted concat per source)
+    want = {
+        r["source"]: sorted(r["all_toks"])
+        for r in df.groupBy("source")
+        .agg(F.flatten(F.collect_list("tokens")).alias("all_toks"))
+        .collect()
+    }
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["source"], []).extend(r["tokens"])
+    assert {k: sorted(v) for k, v in got.items()} == want
+    # determinism: identical pack assignment on a repartitioned re-run
+    again = {
+        (r["source"], r["stream"], r["pack_id"], tuple(r["tokens"]))
+        for r in pack_token_examples(df.repartition(13), ctx_len=2048, n_streams=4).collect()
+    }
+    assert again == {
+        (r["source"], r["stream"], r["pack_id"], tuple(r["tokens"])) for r in rows
+    }
+    packs.unpersist()
