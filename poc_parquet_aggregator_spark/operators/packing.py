@@ -3,7 +3,11 @@ fixed-context training examples — the step between a deduped corpus and a
 training dataloader at 10^12-sequence scale.
 
 Distributed form: ONE window cumsum per stream partition (source), pack id
-= floor(start_offset / context). No shuffle beyond the partition sort, no
+= floor(start_offset / context). At 10^12-sequence scale the 60% head
+source makes a bare per-source window one giant reducer — the engine twin
+``pack_token_examples(n_streams=k)`` salts each source into independent
+sub-streams (the gate query stays single-stream: sf-scale data, simpler
+oracle). No shuffle beyond the partition sort, no
 per-row Python, and the assignment is deterministic (total order by doc_id)
 so a resumed job reproduces identical packs. Documents are never split:
 a doc whose span crosses a boundary belongs to the pack where it STARTS, so

@@ -503,6 +503,10 @@ def q_a3_two_level_capacity(spark: SparkSession, sf: str) -> DataFrame:
     l2 = l1.groupBy("usage_date", "user_id").agg(
         _isum(F.col("hour_cap")).alias("user_cap")
     )
+    # whole-partition window on the PRE-AGGREGATED per-(date,user) frame:
+    # one buffered (spill-backed) partition per day of distinct users, not
+    # per raw row; a corpus with billions of users/day would switch to the
+    # groupBy+join form of the same fan-out
     day_total = (
         F.sum(_fx(F.col("user_cap"))).over(Window.partitionBy("usage_date"))
         / F.lit(float(_S))
