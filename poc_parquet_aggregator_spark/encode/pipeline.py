@@ -4,7 +4,7 @@ Shape mirrors the reference's chunked streaming + incremental-write design
 (/root/reference/src/streaming_processor.py:94-263,
  /root/reference/src/aggregator_ocp_aws.py:307-350) re-expressed Spark-first:
 
-  * the "chunk" is an Arrow batch inside ``mapInPandas`` (vectorized, no
+  * the "chunk" is an Arrow batch inside ``mapInArrow`` (vectorized, no
     per-row Python — BASELINE.json input_hint);
   * encoded blobs are written TASK-LOCALLY with pyarrow into a staging dir
     — they never cross the Arrow boundary back to the JVM (multi-MB binary
