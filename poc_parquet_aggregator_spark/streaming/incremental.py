@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..encode.pipeline import encode_dataset
-from ..sources.tokens import token_table_schema
 
 
 def encode_stream(
@@ -46,8 +45,6 @@ def encode_stream(
     """
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(out_dir, "_stream_checkpoint")
-    import pyarrow  # noqa: F401  (imported for schema parity with batch path)
-
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
