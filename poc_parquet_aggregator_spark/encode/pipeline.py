@@ -104,6 +104,10 @@ _ENC_ARROW_SCHEMA = pa.schema(
         pa.field("doc_id_max", pa.string()),
         pa.field("n_tok_min", pa.int32()),
         pa.field("n_tok_max", pa.int32()),
+        # distinct sources in the chunk (≲ the source cardinality, ~20):
+        # source-filtered reads on the PER-FILE layout prune chunks via
+        # arrays_overlap instead of decoding every source blob
+        pa.field("src_set", pa.list_(pa.string())),
         pa.field("doc_id_blob", pa.large_binary()),
         pa.field("source_blob", pa.large_binary()),
         pa.field("tokens_blob", pa.large_binary()),
@@ -354,6 +358,7 @@ def _encode_chunk_row(
         "doc_id_max": mm["max"],
         "n_tok_min": int(lengths.min()) if len(lengths) else 0,
         "n_tok_max": int(lengths.max()) if len(lengths) else 0,
+        "src_set": sorted(pc.unique(src_arr.cast(pa.string())).to_pylist()),
         "n_docs": len(lengths),
         "n_tokens": len(flat),
         "bytes_in": bytes_in,
@@ -908,7 +913,9 @@ def read_decoded(
     """Read the encoded table back as (doc_id, tokens, n_tok, source).
 
     Selective decode — the point of a columnar format at 100 TB:
-      * ``sources``: with by-source layout (encode_dataset_by_source) the
+      * ``sources``: chunk-level source zones (``src_set`` — the distinct
+        sources per chunk) prune chunks on ANY layout; with by-source
+        layout (encode_dataset_by_source) the
         `file_stem` partition column starts with the source name, so the
         filter prunes whole partition directories before any IO. The prune
         is applied ONLY when the manifest's layout record says the stems
@@ -967,6 +974,16 @@ def read_decoded(
             c = F.col("file_stem").startswith(s)
             cond = c if cond is None else (cond | c)
         enc = enc.filter(cond)
+    if sources and "src_set" in enc.columns:
+        # chunk-level source zone (works on ANY layout, incl. per-file):
+        # a chunk survives only if it contains one of the wanted sources —
+        # pruned chunks never decode their blobs (encodes predating the
+        # src_set column skip this and rely on the post-decode filter)
+        enc = enc.filter(
+            F.arrays_overlap(
+                F.col("src_set"), F.array(*[F.lit(s) for s in sources])
+            )
+        )
     if doc_id_range:
         lo, hi = doc_id_range
         enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))

@@ -797,3 +797,43 @@ def test_pack_token_examples_salted_streams(spark):
         (r["source"], r["stream"], r["pack_id"], tuple(r["tokens"])) for r in rows
     }
     packs.unpersist()
+
+
+def test_source_zone_prunes_chunks_on_perfile_layout(spark, token_dir, tmp_path):
+    """Per-file layout: a source-filtered read now prunes chunks via the
+    src_set zone column (arrays_overlap in the plan) and returns exactly
+    the post-hoc-filtered rows."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    full = read_decoded(spark, out)
+    want = full.filter(F.col("source") == "src05").count()
+    got_df = read_decoded(spark, out, sources=["src05"])
+    assert got_df.count() == want > 0
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "src_set" in plan and "arrays_overlap" in plan
+
+
+def test_remap_tokens_vocab_surgery(spark):
+    """Vocab remap: 1:1 mapping applied token-exactly, out-of-range and
+    negative-mapped ids become UNK, n_tok/doc_id/source untouched."""
+    import numpy as np
+
+    from poc_parquet_aggregator_spark.operators.vocab import remap_tokens
+    from poc_parquet_aggregator_spark.sources import generate_token_table
+
+    df = spark.createDataFrame(generate_token_table(300, seed=3).to_pandas())
+    VOCAB = 50257
+    mapping = np.arange(VOCAB, dtype=np.int32) + 1  # shift everything by 1
+    mapping[7] = -1  # id 7 is pruned → UNK
+    out = remap_tokens(df, mapping, unk_id=0)
+    assert out.schema == df.schema
+    got = {r["doc_id"]: r for r in out.collect()}
+    for r in df.collect():
+        want = [0 if t == 7 else t + 1 for t in r["tokens"]]
+        g = got[r["doc_id"]]
+        assert list(g["tokens"]) == want
+        assert g["n_tok"] == r["n_tok"] and g["source"] == r["source"]
