@@ -116,10 +116,15 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, flo
     from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
 
     spark = get_spark("bench_queries", cores=cpus)
-    # JVM/JIT warmup on the tiny sf: drives the scan + hash-agg + broadcast
-    # + SMJ codegen paths once so the first measured query isn't paying JIT
+    # JVM/JIT warmup on the tiny sibling sf when present (falls back to
+    # sf_dir itself — a missing fixture must not crash the whole bench,
+    # r3 ADVICE): drives the scan + hash-agg + broadcast + SMJ codegen
+    # paths once so the first measured query isn't paying JIT
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     for wq in ("a1_daily_rollup", "star_join_revenue"):
-        _force(QUERIES[wq](spark, "/root/testdata/sf0.001"))
+        _force(QUERIES[wq](spark, warm_dir))
 
     def timed_median(name: str) -> float:
         # single-shot readings swung ±3x on this host (r02→r03 headline

@@ -462,6 +462,9 @@ def _decode_cols(extras: list[tuple[str, str]] | None = None) -> list[tuple[str,
     ] + [(n, _ARROW_OF[t]) for n, t in (extras or [])]
 
 
+_SEG_PAYLOAD_CAP = 1 << 30  # utf8-cast segment payload bound (tests shrink it)
+
+
 def _emit_record_batches(
     out: dict, schema: "pa.Schema"
 ) -> Iterator[pa.RecordBatch]:
@@ -469,21 +472,36 @@ def _emit_record_batches(
 
     decode_strings_arrow falls back to a large_utf8 array when a chunk's
     concatenated payload overflows int32 offsets (≥2 GiB). Such an array
-    can't go into a utf8-schema batch directly, so the row set is split
-    into segments small enough that each segment's payload fits int32
-    offsets again, and each large slice is cast back to utf8. The common
-    (<2 GiB) path emits one batch with zero extra work."""
+    can't go into a utf8-schema batch directly, so the row set is split at
+    boundaries chosen by walking the large arrays' OFFSET buffers — each
+    segment's payload is guaranteed ≤1 GiB, so the utf8 cast can't overflow
+    even under heavily skewed row sizes (equal-count segments could still
+    exceed int32 offsets when a few rows carry most of the bytes — r3
+    ADVICE). The common (<2 GiB) path emits one batch with zero extra
+    work."""
     arrays = [out[name] for name in schema.names]
     large = [i for i, a in enumerate(arrays) if pa.types.is_large_string(a.type)]
     if not large:
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)
         return
     n = len(arrays[0])
-    max_payload = max(arrays[i].nbytes for i in large)
-    n_seg = max(1, -(-max_payload // (1 << 30)))  # ≤1 GiB payload per segment
-    rows = -(-n // n_seg)
-    for s in range(0, n, rows):
-        ln = min(rows, n - s)
+    cap = _SEG_PAYLOAD_CAP  # ≤1 GiB payload per segment per column
+    # per-row payload = sum over large columns; boundary = last row where
+    # cumulative payload since the segment start stays under cap
+    per_row = np.zeros(n, dtype=np.int64)
+    for i in large:
+        a = arrays[i]
+        offs = np.frombuffer(
+            a.buffers()[1], dtype=np.int64, count=n + 1, offset=a.offset * 8
+        )
+        per_row += offs[1:] - offs[:-1]
+    s = 0
+    while s < n:
+        cum = np.cumsum(per_row[s:])
+        ln = int(np.searchsorted(cum, cap, side="right"))
+        ln = max(1, ln)  # a single >cap row still ships alone (cast may
+        # legitimately fail only if ONE row exceeds 2 GiB — impossible for
+        # utf8 input, which this data was on encode)
         cols = []
         for i, a in enumerate(arrays):
             sl = a.slice(s, ln)
@@ -491,6 +509,7 @@ def _emit_record_batches(
                 sl = sl.cast(pa.string())
             cols.append(sl)
         yield pa.RecordBatch.from_arrays(cols, schema=schema)
+        s += ln
 
 
 def _make_decode_fn(
@@ -977,20 +996,32 @@ def read_decoded(
     if sources and "src_set" in enc.columns:
         # chunk-level source zone (works on ANY layout, incl. per-file):
         # a chunk survives only if it contains one of the wanted sources —
-        # pruned chunks never decode their blobs (encodes predating the
-        # src_set column skip this and rely on the post-decode filter)
+        # pruned chunks never decode their blobs. NULL-TOLERANT: on a mixed
+        # out_dir (old files encoded before src_set existed + new files
+        # appended via resume) the old chunks read the column as NULL, and
+        # arrays_overlap(NULL, …) is NULL → a bare filter would silently
+        # drop every pre-upgrade chunk (r3 ADVICE). NULL zones are
+        # conservatively kept; the post-decode filter stays exact.
         enc = enc.filter(
-            F.arrays_overlap(
+            F.col("src_set").isNull()
+            | F.arrays_overlap(
                 F.col("src_set"), F.array(*[F.lit(s) for s in sources])
             )
         )
     if doc_id_range:
         lo, hi = doc_id_range
-        enc = enc.filter((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
-    if n_tok_range and "n_tok_max" in enc.columns:
         enc = enc.filter(
-            (F.col("n_tok_max") >= n_tok_range[0])
-            & (F.col("n_tok_min") <= n_tok_range[1])
+            F.col("doc_id_max").isNull()
+            | ((F.col("doc_id_max") >= lo) & (F.col("doc_id_min") <= hi))
+        )
+    if n_tok_range and "n_tok_max" in enc.columns:
+        # same null-tolerance: length zones NULL on pre-upgrade chunks
+        enc = enc.filter(
+            F.col("n_tok_max").isNull()
+            | (
+                (F.col("n_tok_max") >= n_tok_range[0])
+                & (F.col("n_tok_min") <= n_tok_range[1])
+            )
         )
     if doc_ids:
         # point lookups: a chunk survives only if SOME requested id falls in
@@ -1006,7 +1037,7 @@ def read_decoded(
                 cond = c if cond is None else (cond | c)
         else:
             cond = (F.col("doc_id_max") >= ids[0]) & (F.col("doc_id_min") <= ids[-1])
-        enc = enc.filter(cond)
+        enc = enc.filter(F.col("doc_id_min").isNull() | cond)
     extras = read_extras(out_dir)
     all_names = [f.name for f in _decoded_schema(extras).fields]
     if columns is None:

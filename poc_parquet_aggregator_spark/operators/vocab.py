@@ -43,6 +43,12 @@ def remap_tokens(df: DataFrame, mapping: "np.ndarray", unk_id: int = 0) -> DataF
             if batch.num_rows == 0:
                 yield batch
                 continue
+            if tok.null_count:
+                # a NULL list entry would make value_lengths() float64 with
+                # NaN and silently corrupt the rebuilt int32 offsets (token
+                # misalignment, not an error) — reject loudly (r3 ADVICE);
+                # the sequence-table schema is non-null (input_hint)
+                raise ValueError("tokens column contains NULL lists")
             # combine_chunks-free zero-copy flatten (respects offsets)
             flat = tok.flatten().to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
@@ -52,8 +58,12 @@ def remap_tokens(df: DataFrame, mapping: "np.ndarray", unk_id: int = 0) -> DataF
             taken = m[flat[in_range]]
             out[in_range] = np.where(taken < 0, unk_id, taken)
             lengths = tok.value_lengths().to_numpy(zero_copy_only=False)
-            offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
+            # >2^31 tokens in one batch would wrap an int32 cumsum silently
+            if offsets[-1] > np.iinfo(np.int32).max:
+                raise ValueError("batch token count overflows int32 offsets")
+            offsets = offsets.astype(np.int32)
             new_tok = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()), pa.array(out, type=pa.int32())
             )

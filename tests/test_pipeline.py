@@ -837,3 +837,87 @@ def test_remap_tokens_vocab_surgery(spark):
         g = got[r["doc_id"]]
         assert list(g["tokens"]) == want
         assert g["n_tok"] == r["n_tok"] and g["source"] == r["source"]
+
+
+def test_null_zone_columns_conservatively_kept(spark, token_dir, tmp_path):
+    """Mixed-version out_dir: chunks whose zone columns read as NULL (files
+    encoded before src_set / n_tok / doc_id zones existed) must be KEPT by
+    the chunk-level prunes, not silently dropped (r3 ADVICE). Simulated by
+    nulling the zone columns of every encoded part in place."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    baseline = read_decoded(spark, out, sources=["src05"]).count()
+    base_range = read_decoded(spark, out, n_tok_range=(10, 100)).count()
+    base_ids = read_decoded(
+        spark, out, doc_ids=["doc-000000000005", "doc-000000000123"]
+    ).count()
+    assert baseline > 0 and base_range > 0 and base_ids == 2
+    for p in _glob.glob(os.path.join(out, "data", "**", "*.parquet"), recursive=True):
+        tbl = pq.read_table(p)
+        n = tbl.num_rows
+        for col, typ in [
+            ("src_set", pa.list_(pa.string())),
+            ("n_tok_min", pa.int32()),
+            ("n_tok_max", pa.int32()),
+            ("doc_id_min", pa.string()),
+            ("doc_id_max", pa.string()),
+        ]:
+            idx = tbl.schema.get_field_index(col)
+            tbl = tbl.set_column(idx, tbl.schema.field(idx), pa.nulls(n, typ))
+        pq.write_table(tbl, p, compression="none", use_dictionary=False)
+    # zone prunes can no longer skip anything, but the exact post-decode
+    # filters still apply — same answers, no silent drop
+    assert read_decoded(spark, out, sources=["src05"]).count() == baseline
+    assert read_decoded(spark, out, n_tok_range=(10, 100)).count() == base_range
+    assert (
+        read_decoded(
+            spark, out, doc_ids=["doc-000000000005", "doc-000000000123"]
+        ).count()
+        == 2
+    )
+
+
+def test_remap_tokens_rejects_null_lists(spark):
+    """A NULL tokens list must raise, not corrupt offsets (r3 ADVICE)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from poc_parquet_aggregator_spark.operators.vocab import remap_tokens
+
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2, "s"), ("b", None, 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = remap_tokens(df, np.arange(10, dtype=np.int32))
+    with _pytest.raises(Exception, match="NULL lists"):
+        out.collect()
+
+
+def test_emit_record_batches_skewed_rows_bounded_segments(monkeypatch):
+    """Segments split by cumulative PAYLOAD bytes (offset walk), not equal
+    row counts: with one giant row among many tiny ones every emitted
+    segment's payload stays under the cap (r3 ADVICE — equal-count
+    splitting could still overflow int32 offsets under skew)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from poc_parquet_aggregator_spark.encode import pipeline as P
+
+    monkeypatch.setattr(P, "_SEG_PAYLOAD_CAP", 64)
+    vals = ["x" * 60] + ["ab"] * 100 + ["y" * 61] + ["c"] * 50
+    big = pa.array(vals, type=pa.large_utf8())
+    schema = pa.schema([pa.field("s", pa.string()), pa.field("i", pa.int32())])
+    out = {"s": big, "i": pa.array(np.arange(len(vals), dtype=np.int32))}
+    batches = list(P._emit_record_batches(out, schema))
+    assert [v.as_py() for b in batches for v in b.column(0)] == vals
+    for b in batches:
+        payload = sum(len(v.as_py()) for v in b.column(0))
+        assert payload <= 64 or b.num_rows == 1  # lone oversized row ok
