@@ -50,7 +50,7 @@ HEADLINE = [
     "j11_suffix_theta_join",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
-    "text_quality",
+    "text_langid_quality",
     "multimodal_decode_meta",
 ]
 

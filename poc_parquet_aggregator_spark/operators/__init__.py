@@ -13,18 +13,43 @@ gate's capacity, and orders the entries risk-first: queries without an r02
 driver row lead, long-stable ones trail.
 """
 
-from . import dedup, extended, multimodal, packing, relational, similarity, textstats
+from . import (
+    dedup,
+    encoded_gate,
+    extended,
+    multimodal,
+    packing,
+    relational,
+    similarity,
+    splits,
+    textstats,
+)
 
-_MODULES = (relational, extended, dedup, similarity, textstats, multimodal, packing)
+_MODULES = (
+    relational,
+    extended,
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+    packing,
+    encoded_gate,
+    splits,
+)
 
 _ORDER = [
-    # ── no CORRECTNESS_r02 row (past the r02 gate's 50-entry window) ──
+    # ── new in round 4 (risk-first: no prior driver row) ──
+    "encoded_roundtrip_rollup",
+    "splits_sample",
+    # ── fused in round 4 (j17+j18; langid+quality) ──
+    "j17_j18_anti_semi",
+    "text_langid_quality",
+    # ── r03-green ──
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "multimodal_transform",
     "pack_sequences",
     "text_vocab_topk",
-    # ── new in round 3 ──
     "pack_tokens",
     "ocp_aws_pipeline",
     # ── merged / reworked in round 3 ──
@@ -45,8 +70,6 @@ _ORDER = [
     "j5_like_theta_join",
     "j8_hourly_inner_join",
     "j11_suffix_theta_join",
-    "j17_anti_join",
-    "j18_semi_join",
     "a3_two_level_capacity",
     "a5_count_distinct",
     "a7_capacity_derivation",
@@ -69,8 +92,6 @@ _ORDER = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
-    "text_langid",
-    "text_quality",
     "text_rolling_hash",
 ]
 

@@ -444,44 +444,47 @@ FROM matched WHERE rn = 1 GROUP BY suffix
 """
 
 
-# ──────────────────── J17: anti join (unattributed remainder) ───────────────
-# Reference: cost_attributor.py:1150-1159 — ~isin(attributed ids) → left_anti
+# ───────── J17 + J18: anti join + semi join (set-diff / set-match) ──────────
+# Reference: cost_attributor.py:1150-1159 — ~isin(attributed ids) →
+# left_anti; aggregator_ocp_aws.py:692-706 — isin(csi_handles) → left_semi.
+# Fused into ONE registry entry in round 4 (gate caps at 50): each branch is
+# the same isolated operator as before, union'd under a section tag.
 
 
-def q_j17_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+def q_j17_j18_anti_semi(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     no_f_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-    return no_f_orders.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_customers"),
+    anti = no_f_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
         _isum(F.col("c_acctbal")).alias("sum_acctbal"),
+    ).select(
+        F.lit("anti").alias("op"), F.col("c_mktsegment").alias("key"),
+        "n", "sum_acctbal",
     )
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    active = s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+    semi = active.groupBy("s_nationkey").agg(F.count("*").alias("n")).select(
+        F.lit("semi").alias("op"),
+        F.col("s_nationkey").cast("string").alias("key"),
+        "n",
+        F.lit(None).cast("double").alias("sum_acctbal"),
+    )
+    return anti.unionByName(semi)
 
 
-ORACLE_J17 = f"""
-SELECT c_mktsegment, count(*) AS n_customers,
+ORACLE_J17_J18 = f"""
+SELECT 'anti' AS op, c_mktsegment AS key, count(*) AS n,
        {_duck_isum('c_acctbal')} AS sum_acctbal
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 GROUP BY c_mktsegment
-"""
-
-
-# ───────────────────── J18: semi join (matched-id filter) ───────────────────
-# Reference: aggregator_ocp_aws.py:692-706 — isin(csi_handles) → left_semi
-
-
-def q_j18_semi_join(spark: SparkSession, sf: str) -> DataFrame:
-    s = _t(spark, sf, "supplier")
-    li = _t(spark, sf, "lineitem")
-    active = s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
-    return active.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
-
-
-ORACLE_J18 = """
-SELECT s_nationkey, count(*) AS n_suppliers
-FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+UNION ALL
+SELECT 'semi', CAST(s_nationkey AS VARCHAR), count(*), NULL
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
 GROUP BY s_nationkey
 """
 
@@ -766,8 +769,7 @@ QUERIES = {
     "j5_like_theta_join": q_j5_like_theta_join,
     "j8_hourly_inner_join": q_j8_hourly_inner_join,
     "j11_suffix_theta_join": q_j11_suffix_theta_join,
-    "j17_anti_join": q_j17_anti_join,
-    "j18_semi_join": q_j18_semi_join,
+    "j17_j18_anti_semi": q_j17_j18_anti_semi,
     "a3_two_level_capacity": q_a3_two_level_capacity,
     "a5_count_distinct": q_a5_count_distinct,
     "a7_capacity_derivation": q_a7_capacity_derivation,
@@ -789,8 +791,7 @@ ORACLES = {
     "j5_like_theta_join": ORACLE_J5,
     "j8_hourly_inner_join": ORACLE_J8,
     "j11_suffix_theta_join": ORACLE_J11,
-    "j17_anti_join": ORACLE_J17,
-    "j18_semi_join": ORACLE_J18,
+    "j17_j18_anti_semi": ORACLE_J17_J18,
     "a3_two_level_capacity": ORACLE_A3,
     "a5_count_distinct": ORACLE_A5,
     "a7_capacity_derivation": ORACLE_A7,

@@ -81,3 +81,75 @@ def stratified_sample(
         else F.lit(float(default_fraction))
     )
     return df.filter(_unit_hash(F.col(id_col), salt) < frac)
+
+
+# ───────────────── driver-gate twin (round 4, VERDICT r3 #4) ────────────────
+# Both operators are md5-threshold deterministic, so DuckDB replays them
+# exactly: u = ('0x' || first 8 md5 hex digits)::BIGINT / 2^32 — identical
+# IEEE division of identical integers. The twin fuses both checks into ONE
+# registry entry (the driver gate caps at 50): section 'split:<name>' checks
+# deterministic_split's full assignment (membership via summed doc-id
+# signatures, not just counts); 'sample:<source>' checks stratified_sample's
+# per-key keep set the same way.
+
+_SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_VAL_FRAC, _TEST_FRAC = 0.05, 0.05
+
+
+def _did_sig(col: Column) -> Column:
+    """Order-independent-summable doc signature (44-bit md5 prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 11), 16, 10).cast("long")
+
+
+def q_splits_sample(spark, sf: str):
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    sp = (
+        deterministic_split(d, val_frac=_VAL_FRAC, test_frac=_TEST_FRAC)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum(_did_sig(F.col("doc_id"))).alias("sig_sum"))
+        .select(F.concat(F.lit("split:"), F.col("split")).alias("bucket"), "n_docs", "sig_sum")
+    )
+    sa = (
+        stratified_sample(
+            d, _SAMPLE_FRACTIONS, key_col="source", default_fraction=_SAMPLE_DEFAULT
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum(_did_sig(F.col("doc_id"))).alias("sig_sum"))
+        .select(F.concat(F.lit("sample:"), F.col("source")).alias("bucket"), "n_docs", "sig_sum")
+    )
+    return sp.unionByName(sa)
+
+
+_D_UNIT = (
+    "(CAST(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+_D_SIG = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 11)) AS BIGINT)"
+
+ORACLE_SPLITS_SAMPLE = f"""
+WITH sp AS (
+  SELECT CASE WHEN {_D_UNIT.format(salt="split-v1")} < {_VAL_FRAC} THEN 'val'
+              WHEN {_D_UNIT.format(salt="split-v1")} < {_VAL_FRAC + _TEST_FRAC} THEN 'test'
+              ELSE 'train' END AS split,
+         {_D_SIG} AS sig
+  FROM documents),
+sa AS (
+  SELECT source, {_D_SIG} AS sig
+  FROM documents
+  WHERE {_D_UNIT.format(salt="sample-v1")} <
+        CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                    WHEN 'src2' THEN 0.25 ELSE {_SAMPLE_DEFAULT} END)
+SELECT 'split:' || split AS bucket, count(*) AS n_docs,
+       CAST(sum(sig) AS BIGINT) AS sig_sum
+FROM sp GROUP BY split
+UNION ALL
+SELECT 'sample:' || source, count(*), CAST(sum(sig) AS BIGINT)
+FROM sa GROUP BY source
+"""
+
+
+QUERIES = {"splits_sample": q_splits_sample}
+ORACLES = {"splits_sample": ORACLE_SPLITS_SAMPLE}

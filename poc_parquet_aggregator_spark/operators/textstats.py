@@ -34,10 +34,17 @@ def _duck_words(col: str = "text") -> str:
 # ─────────────────────────── language ID ────────────────────────────────────
 
 
-def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
-    """Stopword-ratio language ID: score per language = fraction of tokens in
-    that language's stopword list; argmax wins, 'und' if all scores 0.
-    One scan, no shuffle except the final rollup."""
+def q_text_langid_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID + quality scoring fused into ONE per-doc pass (round 4:
+    both read the same table at the same granularity, and the driver gate
+    caps the registry at 50 entries — the per-doc form is the STRONGER
+    check anyway: it hashes every doc's predicted language, of which the
+    old (lang, pred_lang) rollup is a projection).
+
+    Language ID: score per language = fraction of tokens in that language's
+    stopword list; argmax wins, 'und' if all scores 0. Quality: length
+    band, mean word length, stopword ratio, alpha ratio → clipped
+    composite. One scan, no shuffle, all codegen'd."""
     d = _docs(spark, sf)
     words = _words()
     n = F.size(words).cast("double")
@@ -46,15 +53,29 @@ def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
         arr = F.array(*[F.lit(w) for w in sw])
         hits = F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
         scores[lang] = (hits / n).alias(f"score_{lang}")
-    d2 = d.select("doc_id", "lang", *scores.values())
+    mean_wlen = F.length(F.regexp_replace("text", r"\s+", "")) / n
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text")
+    )
+    d2 = d.select(
+        "doc_id", "lang", *scores.values(),
+        mean_wlen.alias("_mw"), alpha_ratio.alias("_ar"), n.alias("_n"),
+    )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in _STOPWORDS])
     pred = F.when(best <= 0.0, "und")
     for lang in _STOPWORDS:
         pred = pred.when(F.col(f"score_{lang}") == best, lang)
-    return (
-        d2.withColumn("pred_lang", pred)
-        .groupBy("lang", "pred_lang")
-        .agg(F.count("*").alias("n_docs"))
+    score = (
+        F.least(F.col("_n") / 100.0, F.lit(1.0)) * 0.3
+        + F.least(F.col("_mw") / 8.0, F.lit(1.0)) * 0.2
+        + F.least(F.col("score_en") * 5.0, F.lit(1.0)) * 0.2
+        + F.col("_ar") * 0.3
+    )
+    return d2.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)).alias("quality"),
     )
 
 
@@ -66,69 +87,30 @@ def _duck_score(lang: str) -> str:
     )
 
 
-ORACLE_LANGID = f"""
+ORACLE_LANGID_QUALITY = f"""
 WITH scored AS (
   SELECT doc_id, lang,
          {_duck_score('en')} AS score_en, {_duck_score('es')} AS score_es,
-         {_duck_score('fr')} AS score_fr, {_duck_score('de')} AS score_de
-  FROM documents),
-pred AS (
-  SELECT lang,
-         CASE WHEN greatest(score_en, score_es, score_fr, score_de) <= 0.0 THEN 'und'
-              WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
-              WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
-              WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
-              WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
-         END AS pred_lang
-  FROM scored)
-SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY 1, 2
-"""
-
-
-# ─────────────────────────── quality score ──────────────────────────────────
-
-
-def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality heuristics: length band, mean word length, stopword ratio,
-    alpha ratio → clipped composite score (per-doc output)."""
-    d = _docs(spark, sf)
-    words = _words()
-    n_words = F.size(words).cast("double")
-    mean_wlen = F.length(F.regexp_replace("text", r"\s+", "")) / n_words
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    sw_ratio = F.size(F.filter(words, lambda t: F.array_contains(sw, t))) / n_words
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text")
-    )
-    score = (
-        F.least(n_words / 100.0, F.lit(1.0)) * 0.3
-        + F.least(mean_wlen / 8.0, F.lit(1.0)) * 0.2
-        + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.2
-        + alpha_ratio * 0.3
-    )
-    return d.select(
-        "doc_id",
-        F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0)).alias("quality"),
-    )
-
-
-_DUCK_SW_EN = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
-
-ORACLE_QUALITY = f"""
-WITH s AS (
-  SELECT doc_id,
-         len({_duck_words()}) * 1.0 AS n_words,
-         length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 AS n_chars,
-         len(list_filter({_duck_words()}, t -> t IN ({_DUCK_SW_EN}))) * 1.0 AS n_sw,
-         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio
+         {_duck_score('fr')} AS score_fr, {_duck_score('de')} AS score_de,
+         length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+           / len({_duck_words()}) AS mw,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+           / length(text) AS ar,
+         len({_duck_words()}) * 1.0 AS n
   FROM documents)
-SELECT doc_id,
+SELECT doc_id, lang,
+       CASE WHEN greatest(score_en, score_es, score_fr, score_de) <= 0.0 THEN 'und'
+            WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+            WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+       END AS pred_lang,
        least(greatest(
-         least(n_words / 100.0, 1.0) * 0.3
-         + least((n_chars / n_words) / 8.0, 1.0) * 0.2
-         + least((n_sw / n_words) * 5.0, 1.0) * 0.2
-         + alpha_ratio * 0.3, 0.0), 1.0) AS quality
-FROM s
+         least(n / 100.0, 1.0) * 0.3
+         + least(mw / 8.0, 1.0) * 0.2
+         + least(score_en * 5.0, 1.0) * 0.2
+         + ar * 0.3, 0.0), 1.0) AS quality
+FROM scored
 """
 
 
@@ -235,16 +217,14 @@ SELECT word, n, rank FROM ranked WHERE rank <= 20
 
 
 QUERIES = {
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
+    "text_langid_quality": q_text_langid_quality,
     "text_doc_stats": q_text_doc_stats,
     "text_rolling_hash": q_text_rolling_hash,
     "text_vocab_topk": q_text_vocab_topk,
 }
 
 ORACLES = {
-    "text_langid": ORACLE_LANGID,
-    "text_quality": ORACLE_QUALITY,
+    "text_langid_quality": ORACLE_LANGID_QUALITY,
     "text_doc_stats": ORACLE_DOC_STATS,
     "text_rolling_hash": ORACLE_ROLLING_HASH,
     "text_vocab_topk": ORACLE_VOCAB_TOPK,
