@@ -1,0 +1,53 @@
+"""Bounded persisted-frame memo shared by operators (extracted from
+dedup.py in round 4 so the flagship pipeline can reuse it).
+
+Two purposes: share expensive intermediate frames ACROSS queries in one
+session (the capped-shingle frame feeds both jaccard and minhash), and
+bound cache growth — repeated invocations of the same query reuse ONE
+persisted frame instead of stacking a fresh ``.cache()`` per call (the
+gate runs 50 queries and the bench re-runs each 3× in one session; an
+unbounded cache was flagged in round 2). When a new (kind, session, sf)
+arrives, the previous entry of the same kind is unpersisted. Keyed by
+``applicationId``, not ``id(sparkContext)``: CPython can reuse an id after
+a context stop/restart, which would hand back a frame bound to a dead
+context (r3 ADVICE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FRAME_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def memo_key(kind: str, spark: SparkSession, sf: str) -> tuple[str, str, str]:
+    return (kind, spark.sparkContext.applicationId, sf)
+
+
+def memo_frame(kind: str, spark: SparkSession, sf: str, build) -> DataFrame:
+    key = memo_key(kind, spark, sf)
+    if key in _FRAME_MEMO:
+        return _FRAME_MEMO[key]
+    for old_key in list(_FRAME_MEMO):
+        if old_key[0] == kind:
+            try:
+                _FRAME_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass
+    df = build().persist()
+    _FRAME_MEMO[key] = df
+    return df
+
+
+def memo_get(kind: str, spark: SparkSession, sf: str) -> DataFrame | None:
+    return _FRAME_MEMO.get(memo_key(kind, spark, sf))
+
+
+def purge_frame_memo() -> None:
+    """Unpersist and drop every memoized frame (bench uses this so each
+    timed run is cold)."""
+    for key in list(_FRAME_MEMO):
+        try:
+            _FRAME_MEMO.pop(key).unpersist()
+        except Exception:
+            pass

@@ -1371,20 +1371,38 @@ ORACLES.update({"p9_savingsplan_normalize": ORACLE_P9})
 # the CHAIN, not the phases: load → resource-id matching (resource_matcher.py,
 # J11 suffix cascade) → tag matching for the remainder (tag_matcher.py, J12
 # cascade) → capacity derivation (disk_capacity_calculator.py, A7) → cost
-# attribution by ratio (cost_attributor.py:519-573, W1) → summary union +
-# formatting (main.py:433-470 U2, db_writer.py:435 F12). Round 2 proved each
-# phase as an isolated oracle-paired query; this one query composes them so
-# cross-phase interactions (join order, null propagation, window-over-join)
-# are oracle-checked end to end.
+# attribution by ratio (cost_attributor.py:519-573, W1) → network/storage
+# cost split + five-frame attribution with per-cost-type markup
+# (network_cost_handler.py:51-93, aggregator_ocp_aws.py:741-924,
+# cost_attributor.py:582 markup) → summary union + formatting (main.py:433-470
+# U2, db_writer.py:435 F12). Round 2 proved each phase as an isolated
+# oracle-paired query; this one query composes them so cross-phase
+# interactions (join order, null propagation, window-over-join) are
+# oracle-checked end to end. Round 4 added the reference's full phase 6: the
+# five attribution frames (compute / network-unattributed / CSI storage /
+# tag-matched storage / untagged storage) that the reference builds as five
+# pandas DataFrames and concats collapse here into ONE classified
+# aggregation — a single CASE column + one groupBy over one pass of the cost
+# fact, instead of five scans.
 #
 # Scale shape: the suffix match is a broadcast theta join against a 3-row
 # dim; the cascade is the fused single equi join of _tag_cascade_best; A7 is
 # a partial-agg rollup of the big fact; attribution is one window keyed by
-# match_type; the final rollup is a tiny groupBy. No per-row Python, no
-# quadratic joins, one shuffle per keyed stage.
+# match_type; the per-part `attributed` frame is persisted via the bounded
+# memo (operators/cache.py) because TWO branches consume it — the capacity
+# summary and the cost classification — and an unpersisted plan would
+# re-execute the whole match→cascade→capacity upstream per branch (the r3
+# plan sweep read 62 shuffles / 18 scans pre-AQE; with the memo the
+# upstream runs once into cache and each branch is an InMemoryTableScan).
+# The summary's TOTAL row comes from rollup() grouping sets — one
+# aggregation, no self-union.
 
 
-def q_ocp_aws_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+_OCP_MARKUP = 0.1  # reference default markup (cost_attributor.py:46,582)
+
+
+def _ocp_attributed(spark: SparkSession, sf: str) -> DataFrame:
+    """Phases 1-4: per-part (match_type, matched_tag, capacity, share)."""
     p = _t(spark, sf, "part")
     aws = p.select("p_partkey", "p_brand", _j12_tag_map().alias("resourcetags"))
     # phase 1: resource-id suffix match, priority first-wins (J11)
@@ -1426,29 +1444,108 @@ def q_ocp_aws_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # phase 4: ratio attribution within each match_type (W1) — capacities
     # are exact longs, so the window sum is order-independent
     denom = F.sum("capacity").over(Window.partitionBy("match_type"))
-    attributed = enriched.withColumn(
+    return enriched.withColumn(
         "share", F.col("capacity") / F.nullif(denom, F.lit(0))
     )
-    # phase 5: per-type summary ∪ total row (U2) + money formatting (F12)
-    per_type = attributed.groupBy("match_type").agg(
-        F.count("*").alias("n_parts"),
-        F.sum("capacity").alias("total_capacity"),
-        _isum(F.coalesce(F.col("share"), F.lit(0.0))).alias("share_sum"),
-        F.min("matched_tag").alias("first_tag"),
+
+
+def q_ocp_aws_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from .cache import memo_frame
+
+    attributed = memo_frame(
+        "ocp_attributed", spark, sf, lambda: _ocp_attributed(spark, sf)
     )
-    # TOTAL row derived from the TINY per-type frame, not from `attributed`:
-    # aggregating `attributed` again would re-execute the whole match →
-    # cascade → capacity upstream a second time (measured: 60 shuffles / 18
-    # scans in the plan vs 33/10 this way) — sums of per-type counts and
-    # capacities are the same numbers
-    total = per_type.agg(
-        F.sum("n_parts").alias("n_parts"),
-        F.sum("total_capacity").alias("total_capacity"),
-    ).withColumn("match_type", F.lit("TOTAL"))
-    out = per_type.unionByName(total, allowMissingColumns=True)
-    return out.withColumn(
-        "capacity_decimal", F.format_string("%d.000000000", F.col("total_capacity"))
+    # phase 5: per-type capacity summary + TOTAL via rollup() grouping sets
+    # (one aggregation — the r3 union form re-executed the upstream twice)
+    # + money formatting (F12)
+    g = F.grouping("match_type")
+    summary = (
+        attributed.rollup("match_type")
+        .agg(
+            g.alias("_g"),
+            F.count("*").alias("n"),
+            F.sum("capacity").alias("total_capacity"),
+            _isum(F.coalesce(F.col("share"), F.lit(0.0))).alias("_share"),
+            F.min("matched_tag").alias("_tag"),
+        )
+        .select(
+            F.lit("capacity").alias("cost_type"),
+            F.when(F.col("_g") == 1, "TOTAL").otherwise(F.col("match_type")).alias("bucket"),
+            "n",
+            "total_capacity",
+            # the reference's total row carries no share/tag detail
+            F.when(F.col("_g") == 0, F.col("_share")).alias("share_sum"),
+            F.when(F.col("_g") == 0, F.col("_tag")).alias("first_tag"),
+            F.format_string("%d.000000000", F.col("total_capacity")).alias(
+                "capacity_decimal"
+            ),
+            F.lit(None).cast("double").alias("sum_cost"),
+            F.lit(None).cast("double").alias("markup_cost"),
+        )
     )
+    # phase 6 (r4): network/storage cost split + five-frame attribution.
+    # Cost fact = lineitem rows joined to the per-part match state;
+    # data_transfer_direction ≅ shipmode-derived (nullable, like the
+    # reference's column), EBS-storage flag ≅ shipinstruct-derived.
+    li = _t(spark, sf, "lineitem")
+    costs = li.select(
+        "l_partkey",
+        F.col("l_extendedprice").alias("cost"),
+        # data_transfer_direction analog (nullable, mostly-NULL like the
+        # reference's): R→IN, A→OUT, N (the majority flag) → NULL
+        F.when(F.col("l_returnflag") == "R", "IN")
+        .when(F.col("l_returnflag") == "A", "OUT")
+        .alias("direction"),
+        # EBS-usagetype analog: a deterministic minority subset of rows
+        (F.col("l_linenumber") % 3 == 0).alias("is_storage"),
+    ).join(
+        attributed.select("p_partkey", "match_type", "matched_tag"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    # ONE classification pass replaces the reference's five frames:
+    #   network    — direction present (network_cost_handler.filter_network_costs)
+    #   compute    — non-network, non-EBS (aggregator_ocp_aws.py:797-805)
+    #   storage_csi— EBS on a resource-matched part (CSI handle analog)
+    #   storage_tag— EBS, tag-matched (attribute_tag_matched_storage)
+    #   storage_untagged — EBS, matched neither (attribute_untagged_storage)
+    is_net = F.col("direction").isNotNull() & (F.col("direction") != "")
+    cost_type = (
+        F.when(is_net, "network")
+        .when(~F.col("is_storage"), "compute")
+        .when(F.col("match_type").startswith("resource:"), "storage_csi")
+        .when(F.col("matched_tag").isNotNull(), "storage_tag")
+        .otherwise("storage_untagged")
+    )
+    bucket = (
+        F.when(is_net, F.concat(F.lit("Network unattributed/"), F.col("direction")))
+        .when(~F.col("is_storage"), F.col("match_type"))
+        .when(F.col("match_type").startswith("resource:"), F.col("match_type"))
+        .when(F.col("matched_tag").isNotNull(), F.col("matched_tag"))
+        .otherwise(F.lit("Storage unattributed"))
+    )
+    cost_rollup = (
+        costs.select(cost_type.alias("cost_type"), bucket.alias("bucket"), "cost")
+        .groupBy("cost_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            _isum(F.col("cost")).alias("sum_cost"),
+            # per-cost-type markup (cost_attributor.py:582): per-row double
+            # product is bit-identical cross-engine; fixed-point sum exact
+            _isum(F.col("cost") * F.lit(_OCP_MARKUP)).alias("markup_cost"),
+        )
+        .select(
+            "cost_type",
+            "bucket",
+            "n",
+            F.lit(None).cast("long").alias("total_capacity"),
+            F.lit(None).cast("double").alias("share_sum"),
+            F.lit(None).cast("string").alias("first_tag"),
+            F.lit(None).cast("string").alias("capacity_decimal"),
+            "sum_cost",
+            "markup_cost",
+        )
+    )
+    return summary.unionByName(cost_rollup)
 
 
 ORACLE_OCP_AWS_PIPELINE = f"""
@@ -1481,17 +1578,47 @@ attributed AS (
               OVER (PARTITION BY match_type) AS BIGINT), 0) AS share
   FROM enriched),
 summary AS (
-  SELECT match_type, count(*) AS n_parts,
+  SELECT CASE WHEN GROUPING(match_type) = 1 THEN 'TOTAL' ELSE match_type END AS bucket,
+         count(*) AS n,
          CAST(sum(capacity) AS BIGINT) AS total_capacity,
-         {_duck_isum("coalesce(share, 0.0)")} AS share_sum,
-         min(matched_tag) AS first_tag
-  FROM attributed GROUP BY match_type
-  UNION ALL
-  SELECT 'TOTAL', count(*), CAST(sum(capacity) AS BIGINT), NULL, NULL
-  FROM attributed)
-SELECT match_type, n_parts, total_capacity, share_sum, first_tag,
-       printf('%d.000000000', total_capacity) AS capacity_decimal
+         CASE WHEN GROUPING(match_type) = 1 THEN NULL
+              ELSE {_duck_isum("coalesce(share, 0.0)")} END AS share_sum,
+         CASE WHEN GROUPING(match_type) = 1 THEN NULL
+              ELSE min(matched_tag) END AS first_tag
+  FROM attributed GROUP BY ROLLUP(match_type)),
+costs AS (
+  SELECT li.l_extendedprice AS cost,
+         CASE WHEN li.l_returnflag = 'R' THEN 'IN'
+              WHEN li.l_returnflag = 'A' THEN 'OUT' END AS direction,
+         (li.l_linenumber % 3 = 0) AS is_storage,
+         a.match_type, a.matched_tag
+  FROM lineitem li JOIN attributed a ON li.l_partkey = a.p_partkey),
+classified AS (
+  SELECT cost,
+         CASE WHEN direction IS NOT NULL AND direction <> '' THEN 'network'
+              WHEN NOT is_storage THEN 'compute'
+              WHEN match_type LIKE 'resource:%' THEN 'storage_csi'
+              WHEN matched_tag IS NOT NULL THEN 'storage_tag'
+              ELSE 'storage_untagged' END AS cost_type,
+         CASE WHEN direction IS NOT NULL AND direction <> ''
+                THEN 'Network unattributed/' || direction
+              WHEN NOT is_storage THEN match_type
+              WHEN match_type LIKE 'resource:%' THEN match_type
+              WHEN matched_tag IS NOT NULL THEN matched_tag
+              ELSE 'Storage unattributed' END AS bucket
+  FROM costs),
+cost_rollup AS (
+  SELECT cost_type, bucket, count(*) AS n,
+         {_duck_isum('cost')} AS sum_cost,
+         {_duck_isum(f'cost * {_OCP_MARKUP}')} AS markup_cost
+  FROM classified GROUP BY 1, 2)
+SELECT 'capacity' AS cost_type, bucket, n, total_capacity, share_sum, first_tag,
+       printf('%d.000000000', total_capacity) AS capacity_decimal,
+       CAST(NULL AS DOUBLE) AS sum_cost, CAST(NULL AS DOUBLE) AS markup_cost
 FROM summary
+UNION ALL
+SELECT cost_type, bucket, n, NULL, NULL, NULL, NULL, sum_cost, markup_cost
+FROM cost_rollup
 """
 
 QUERIES.update({"ocp_aws_pipeline": q_ocp_aws_pipeline})
