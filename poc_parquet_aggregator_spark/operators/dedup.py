@@ -240,39 +240,18 @@ _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands of 2 → candidates sharing any band
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash signatures (min over md5(seed||shingle) — portable string-min
-    MinHash), banded LSH bucketing, candidate pairs from same-band buckets,
-    then verified with exact Jaccard over the capped shingle sets (only
-    pairs with true J ≥ 0.5 survive).
+def _minhash_banded(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band rows from the per-doc shingle sets
+    (shared by the query and dedup_scale_stats so the measured bucket
+    distribution is the exact frame the query joins on).
 
-    Shuffle economy is the whole design: shingles aggregate into ONE
-    per-doc set frame (single doc_id shuffle, cached); signatures come from
-    the set arrays via array_min(transform(...)) — codegen'd, zero extra
-    shuffle; banding is one explode + a bucket-capped self-join; and
-    verification joins the (small) candidate pair set against the cached
-    doc-set frame twice, computing |A∩B| row-wise with array_intersect
-    instead of re-shuffling the exploded shingle table (an earlier version
-    did exactly that and was 4× the cost of the whole query). doc×doc never
-    materializes; the df cap and the bucket cap bound every fan-out. The
-    shingle frame is reused from jaccard's per-session memo when present."""
-    sh = _capped_shingles_maybe_shared(spark, sf)
-    doc_sets = _memo_frame(
-        "doc_sets",
-        spark,
-        sf,
-        lambda: (
-            sh.groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh_set"))
-            .withColumn("n_sh", F.size("sh_set"))
-        ),
-    )
-    # 8 signatures from TWO md5 evaluations per shingle, not eight: md5's
-    # 32 hex chars split into four independent 8-hex (32-bit) min-hash
-    # domains per seed (string min over fixed-width hex = numeric min).
-    # Measured ~25% off the whole query at sf0.1 — the per-element md5 was
-    # the hot loop. Collision odds per 32-bit domain at |set|≈300 are
-    # ~1e-5 — no quality impact (and the oracle mirrors the split exactly).
+    8 signatures from TWO md5 evaluations per shingle, not eight: md5's
+    32 hex chars split into four independent 8-hex (32-bit) min-hash
+    domains per seed (string min over fixed-width hex = numeric min).
+    Measured ~25% off the whole query at sf0.1 — the per-element md5 was
+    the hot loop. Collision odds per 32-bit domain at |set|≈300 are
+    ~1e-5 — no quality impact (and the oracle mirrors the split exactly)."""
+
     def _minhash_col(i: int):
         seed, pos = i // 4, (i % 4) * 8 + 1
         # one-arg lambda: a two-arg lambda would receive the array INDEX as
@@ -300,9 +279,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(_N_HASHES // _BAND_SIZE)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (min over md5(seed||shingle) — portable string-min
+    MinHash), banded LSH bucketing, candidate pairs from same-band buckets,
+    then verified with exact Jaccard over the capped shingle sets (only
+    pairs with true J ≥ 0.5 survive).
+
+    Shuffle economy is the whole design: shingles aggregate into ONE
+    per-doc set frame (single doc_id shuffle, cached); signatures come from
+    the set arrays via array_min(transform(...)) — codegen'd, zero extra
+    shuffle; banding is one explode + a bucket-capped self-join; and
+    verification joins the (small) candidate pair set against the cached
+    doc-set frame twice, computing |A∩B| row-wise with array_intersect
+    instead of re-shuffling the exploded shingle table (an earlier version
+    did exactly that and was 4× the cost of the whole query). doc×doc never
+    materializes; the df cap and the bucket cap bound every fan-out. The
+    shingle frame is reused from jaccard's per-session memo when present."""
+    sh = _capped_shingles_maybe_shared(spark, sf)
+    doc_sets = _memo_frame(
+        "doc_sets",
+        spark,
+        sf,
+        lambda: (
+            sh.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .withColumn("n_sh", F.size("sh_set"))
+        ),
+    )
+    banded = _minhash_banded(doc_sets)
     # bucket-size guard: degenerate buckets (many docs sharing one band key)
     # would blow up the self-join quadratically; drop them — their members
     # are still reachable through their other bands
@@ -425,17 +434,11 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup: 60-bit signatures (pure JVM, see
-    _simhash_signatures), then pairs within Hamming distance ≤ 3 found by
-    the 4-table pigeonhole trick (split 60 bits into 4 × 15-bit keys;
-    near-dups share ≥ 1 exact key) — bucket join with a bucket-size cap, no
-    cross product. Fully oracle-paired (md5-based hash + BIGINT bit ops
-    exist in DuckDB)."""
-    d = _docs(spark, sf)
-    sigs = _simhash_signatures(d)
-    # 4 pigeonhole keys per doc in ONE pass (explode, not a 4-way union that
-    # would recompute the signature aggregation 4 times — seen in .explain)
+def _simhash_keyed(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, slot, key): 4 pigeonhole keys per doc in ONE pass
+    (explode, not a 4-way union that would recompute the signature
+    aggregation 4 times — seen in .explain). Shared by the query and
+    dedup_scale_stats."""
     slots = F.array(
         *[
             F.struct(
@@ -447,9 +450,20 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(_SIM_SLOTS)
         ]
     )
-    keyed = sigs.select("doc_id", "simhash", F.explode(slots).alias("sk")).select(
+    return sigs.select("doc_id", "simhash", F.explode(slots).alias("sk")).select(
         "doc_id", "simhash", F.col("sk.slot").alias("slot"), F.col("sk.key").alias("key")
     )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signatures (pure JVM, see
+    _simhash_signatures), then pairs within Hamming distance ≤ 3 found by
+    the 4-table pigeonhole trick (split 60 bits into 4 × 15-bit keys;
+    near-dups share ≥ 1 exact key) — bucket join with a bucket-size cap, no
+    cross product. Fully oracle-paired (md5-based hash + BIGINT bit ops
+    exist in DuckDB)."""
+    d = _docs(spark, sf)
+    keyed = _simhash_keyed(_simhash_signatures(d))
     ok = (
         keyed.groupBy("slot", "key")
         .agg(F.count("*").alias("n_bucket"))
@@ -545,13 +559,26 @@ def _vdot(x, y):
     )
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup via random-hyperplane LSH: 30 sign-bits per vector
-    (vs the broadcast hyperplane set), folded into 5 six-bit band keys in
-    plane order (codegen'd aggregate — no shuffle for signatures), banded
-    bucket self-join with the _MAX_BUCKET cap, then exact-cosine
-    verification of candidates only. Shuffles are key-partitioned (band
-    key / vec_id) — never all-pairs."""
+def adaptive_lsh_bits(n_vectors: int, target_bucket: int = 64) -> int:
+    """Bits per band sized to the corpus: E[bucket] = n / 2^bits ≈ target.
+    The r3 fixed 6-bit choice is right at gate scale (≤10k vectors) but at
+    100k vectors the expected bucket (~1562) already exceeds _MAX_BUCKET —
+    measured in the round-4 dedup_scale run: 4573-row max buckets and
+    4.8e8 candidate pairs refused by the cap. Band key bits must grow with
+    log2(n); at 10^12 vectors this says ~34 bits (and the hyperplane count
+    stays tiny: bands × bits ≤ a few hundred dot products per vector)."""
+    import math
+
+    return max(_LSH_BITS, min(16, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
+
+
+def _embedding_banded(
+    spark: SparkSession, sf: str, bits: int = _LSH_BITS
+) -> DataFrame:
+    """(vec_id, v, band, key) random-hyperplane LSH band rows (shared by
+    the gate query — pinned at the oracle's 6 bits — and the scale path,
+    which passes ``adaptive_lsh_bits``)."""
+    n_planes = _LSH_BANDS * bits
     e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e2 = e.select("vec_id", v.alias("v"))
@@ -563,7 +590,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     # executedPlan BNLJ-free; the key is a groupBy key so it survives the
     # aggregate un-folded
     planes = (
-        e2.filter(F.col("vec_id") < _N_PLANES)
+        e2.filter(F.col("vec_id") < n_planes)
         .groupBy((F.col("vec_id") * 0).alias("_k"))
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("planes"))
     )
@@ -579,7 +606,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             F.struct(
                 F.lit(b).alias("band"),
                 F.aggregate(
-                    F.slice("bits", b * _LSH_BITS + 1, _LSH_BITS),
+                    F.slice("bits", b * bits + 1, bits),
                     F.lit(0),
                     lambda acc, x: acc * 2 + x,
                 ).alias("key"),
@@ -587,9 +614,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(_LSH_BANDS)
         ]
     )
-    banded = with_bits.select(
+    return with_bits.select(
         "vec_id", "v", F.explode(band_structs).alias("bk")
     ).select("vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf: str, bits: int = _LSH_BITS
+) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: bands×bits sign-bits
+    per vector (vs the broadcast hyperplane set), folded into band keys in
+    plane order (codegen'd aggregate — no shuffle for signatures), banded
+    bucket self-join with the _MAX_BUCKET cap, then exact-cosine
+    verification of candidates only. Shuffles are key-partitioned (band
+    key / vec_id) — never all-pairs. ``bits`` is the scale knob
+    (adaptive_lsh_bits); the gate query pins the oracle's 6."""
+    banded = _embedding_banded(spark, sf, bits=bits)
     ok = (
         banded.groupBy("band", "key")
         .agg(F.count("*").alias("n_bucket"))
@@ -623,6 +663,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cosine") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate form of embedding_near_dup, pinned at the oracle's 6-bit bands
+    (the SQL below hardcodes the 30-plane key fold)."""
+    return embedding_near_dup(spark, sf)
 
 
 _DDOT = "list_reduce(list_transform(list_zip({x}, {y}), p -> p[1] * p[2]), (a, b) -> a + b)"
@@ -673,3 +719,71 @@ ORACLES = {
     "dedup_simhash": ORACLE_SIMHASH,
     "dedup_embedding_cosine": ORACLE_EMB_COSINE,
 }
+
+
+# ─────────────── empirical scale evidence (round 4, VERDICT r3 #7) ──────────
+
+
+def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
+    """Measured bucket distributions of the three LSH families on a corpus
+    — the bucketed-not-all-pairs claim evidenced with NUMBERS, not just
+    plan shape. For each family the stats aggregate the EXACT band/bucket
+    frame its query self-joins on (shared builders, no drift):
+
+      * n_buckets / max_bucket / max_bucket_share — how concentrated the
+        worst key is (share = max bucket / items in that band family);
+      * candidate_pairs — Σ n·(n−1)/2 over surviving (≤ cap) buckets: the
+        exact number of pairs the verify stage scores, computed from bucket
+        sizes WITHOUT materializing pairs;
+      * pairs_dropped_by_cap — the quadratic work the _MAX_BUCKET guard
+        refused (0 on healthy corpora; >0 is the guard doing its job).
+    """
+    from .cache import memo_frame
+
+    def bucket_stats(frame: DataFrame, keys: list[str]) -> dict:
+        sizes = frame.groupBy(*keys).agg(F.count("*").alias("n"))
+        pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+        row = sizes.agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n").alias("n_items"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.when(F.col("n") <= _MAX_BUCKET, pairs).otherwise(0)).alias(
+                "candidate_pairs"
+            ),
+            F.sum(F.when(F.col("n") > _MAX_BUCKET, pairs).otherwise(0)).alias(
+                "pairs_dropped_by_cap"
+            ),
+        ).collect()[0]
+        d = row.asDict()
+        d["max_bucket_share"] = round(d["max_bucket"] / max(d["n_items"], 1), 6)
+        d["candidate_pairs"] = int(d["candidate_pairs"] or 0)
+        d["pairs_dropped_by_cap"] = int(d["pairs_dropped_by_cap"] or 0)
+        return d
+
+    doc_sets = memo_frame(
+        "doc_sets",
+        spark,
+        sf,
+        lambda: (
+            _capped_shingles(_docs(spark, sf))
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .withColumn("n_sh", F.size("sh_set"))
+        ),
+    )
+    n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    bits = adaptive_lsh_bits(n_vec)
+    out = {
+        "minhash": bucket_stats(_minhash_banded(doc_sets), ["band", "band_key"]),
+        "simhash": bucket_stats(
+            _simhash_keyed(_simhash_signatures(_docs(spark, sf))), ["slot", "key"]
+        ),
+        # the SCALE configuration: band-key bits sized to the corpus (the
+        # gate query pins 6 bits for oracle parity; see adaptive_lsh_bits)
+        "embedding_lsh": bucket_stats(
+            _embedding_banded(spark, sf, bits=bits), ["band", "key"]
+        ),
+    }
+    out["embedding_lsh"]["bits_per_band"] = bits
+    out["embedding_lsh"]["n_vectors"] = n_vec
+    return out

@@ -74,7 +74,13 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     never sees the encoded dir — any bit divergence anywhere in the
     encode/decode/remap path breaks the value hash."""
     from ..encode import encode_dataset, read_decoded
+    from .dedup import ensure_workers_can_import
     from .vocab import remap_tokens
+
+    # the encode/decode/remap kernels run in python workers, which must be
+    # able to import this package even when the harness built its session
+    # before the package hit PYTHONPATH (same guard as multimodal)
+    ensure_workers_can_import(spark)
 
     # cache key includes the source file's size+mtime: a regenerated
     # documents.parquet (new driver run) must invalidate the cached encode,

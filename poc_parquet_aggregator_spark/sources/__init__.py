@@ -5,6 +5,7 @@ from .jdbc import (
     read_jdbc_dimension,
     write_summary_jdbc,
 )
+from .docs import write_doc_corpus
 from .tokens import generate_token_table, token_table_schema, write_token_table
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "read_sequence_table",
     "token_table_schema",
     "write_token_table",
+    "write_doc_corpus",
 ]

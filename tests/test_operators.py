@@ -191,3 +191,61 @@ def test_deterministic_split_and_stratified_sample(spark):
         deterministic_split(df, val_frac=0.9, test_frac=0.2)
     with _pytest.raises(ValueError):
         stratified_sample(df, {"crawl": 1.5})
+
+
+def test_doc_corpus_deterministic(tmp_path):
+    """write_doc_corpus is seed-deterministic (byte-identical re-generation)
+    and plants the advertised near-dup structure."""
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.sources import write_doc_corpus
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_doc_corpus(a, 500)
+    write_doc_corpus(b, 500)
+    ta, tb = pq.read_table(f"{a}/documents.parquet"), pq.read_table(f"{b}/documents.parquet")
+    assert ta.equals(tb)
+    ea, eb = pq.read_table(f"{a}/embeddings.parquet"), pq.read_table(f"{b}/embeddings.parquet")
+    assert ea.equals(eb)
+    texts = ta.column("text").to_pylist()
+    assert len(texts) == 500 and len(set(texts)) < 500  # exact copies planted
+
+
+def test_adaptive_lsh_bits_monotone():
+    from poc_parquet_aggregator_spark.operators.dedup import (
+        _LSH_BITS,
+        adaptive_lsh_bits,
+    )
+
+    assert adaptive_lsh_bits(1_000) == _LSH_BITS  # gate scale keeps 6
+    assert adaptive_lsh_bits(100_000) > _LSH_BITS
+    bits = [adaptive_lsh_bits(n) for n in (1e3, 1e4, 1e5, 1e6, 1e9)]
+    assert bits == sorted(bits) and bits[-1] <= 16
+
+
+def test_dedup_scale_stats_counts(spark):
+    """Bucket stats computed from bucket sizes must equal the materialized
+    candidate-pair count of the same frame (tiny corpus cross-check)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.dedup import (
+        _embedding_banded,
+        dedup_scale_stats,
+    )
+
+    stats = dedup_scale_stats(spark, SF_DIR)
+    banded = _embedding_banded(spark, SF_DIR, bits=stats["embedding_lsh"]["bits_per_band"])
+    a, b = banded.alias("a"), banded.alias("b")
+    n_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .count()
+    )
+    assert stats["embedding_lsh"]["candidate_pairs"] == n_pairs
+    assert stats["embedding_lsh"]["pairs_dropped_by_cap"] == 0
+    for fam in ("minhash", "simhash"):
+        assert stats[fam]["n_items"] > 0 and stats[fam]["max_bucket"] >= 1
