@@ -68,12 +68,22 @@ def _remap_mapping() -> "np.ndarray":
     return m
 
 
+# by-source branch reads only these sources: exercises the salted layout's
+# directory-level pruning + chunk src_set zones under the cross-engine gate
+_SRC_FILTER = ["src0", "src19", "src7"]
+
+
 def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Encode the synthesized token table, read it back through
-    ``read_decoded``, remap the vocab, and roll up per source. The oracle
-    never sees the encoded dir — any bit divergence anywhere in the
-    encode/decode/remap path breaks the value hash."""
-    from ..encode import encode_dataset, read_decoded
+    """Encode the synthesized token table through BOTH physical layouts —
+    per-file (``encode_dataset``) and salted by-source
+    (``encode_dataset_by_source``, round 4) — read each back through
+    ``read_decoded`` (the by-source branch with a source filter, so
+    partition-directory pruning and chunk src_set zones sit on the checked
+    path), remap the vocab, and roll up per source. The oracle never sees
+    the encoded dirs — any bit divergence anywhere in either encode path,
+    the decode kernels, the selective-read pruning, or the remap kernel
+    breaks the value hash."""
+    from ..encode import encode_dataset, encode_dataset_by_source, read_decoded
     from .dedup import ensure_workers_can_import
     from .vocab import remap_tokens
 
@@ -88,7 +98,9 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     st = os.stat(f"{sf}/documents.parquet")
     key = hashlib.md5(f"{sf}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:10]
     base = os.path.join("/tmp", f"spark_graft_encgate_{key}")
-    in_dir, out_dir = os.path.join(base, "input"), os.path.join(base, "encoded")
+    in_dir = os.path.join(base, "input")
+    out_file = os.path.join(base, "enc_perfile")
+    out_src = os.path.join(base, "enc_bysource")
     if not glob.glob(os.path.join(in_dir, "*.parquet")):
         shutil.rmtree(base, ignore_errors=True)
         tmp = in_dir + ".tmp"
@@ -96,33 +108,42 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
             "overwrite"
         ).parquet(tmp)
         os.rename(tmp, in_dir)  # atomic: never half-written under in_dir
-    # encode_dataset tunes split-size confs for its own scan; restore them so
-    # the other 49 gate queries (same session) keep their defaults
+    # the encode jobs tune split-size confs for their own scans; restore
+    # them so the other 49 gate queries (same session) keep their defaults
     saved = {
         k: spark.conf.get(k, None)
         for k in ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
     }
     try:
-        encode_dataset(spark, in_dir, out_dir)  # resume-aware: re-runs are no-ops
+        encode_dataset(spark, in_dir, out_file)  # resume-aware: re-runs no-op
+        encode_dataset_by_source(spark, in_dir, out_src, n_salts=2)
     finally:
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    dec = read_decoded(spark, out_dir)
-    with_orig = dec.withColumn("orig_sig", _sig(F.col("tokens")))
-    remapped = remap_tokens(with_orig, _remap_mapping(), unk_id=0)
-    return (
-        remapped.withColumn("remap_sig", _sig(F.col("tokens")))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
-            F.sum("orig_sig").alias("orig_sig_sum"),
-            F.sum("remap_sig").alias("remap_sig_sum"),
+
+    def rollup(dec: DataFrame, layout: str) -> DataFrame:
+        with_orig = dec.withColumn("orig_sig", _sig(F.col("tokens")))
+        remapped = remap_tokens(with_orig, _remap_mapping(), unk_id=0)
+        return (
+            remapped.withColumn("remap_sig", _sig(F.col("tokens")))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("n_tok").cast("long")).alias("n_tok_sum"),
+                F.sum("orig_sig").alias("orig_sig_sum"),
+                F.sum("remap_sig").alias("remap_sig_sum"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
         )
+
+    per_file = rollup(read_decoded(spark, out_file), "per-file")
+    by_source = rollup(
+        read_decoded(spark, out_src, sources=list(_SRC_FILTER)), "by-source"
     )
+    return per_file.unionByName(by_source)
 
 
 _D_TOKS = r"""
@@ -140,6 +161,8 @@ def _d_sig(tokens_expr: str) -> str:
     )
 
 
+_SRC_IN = ", ".join(f"'{s}'" for s in _SRC_FILTER)
+
 ORACLE_ENCODED_ROLLUP = f"""
 WITH toks AS ({_D_TOKS}),
 sigs AS (
@@ -147,12 +170,16 @@ sigs AS (
          {_d_sig('tokens')} AS orig_sig,
          {_d_sig(f'list_transform(tokens, x -> CASE WHEN x < {_KEEP} THEN x + 1 ELSE 0 END)')}
            AS remap_sig
-  FROM toks)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
-       CAST(sum(orig_sig) AS BIGINT) AS orig_sig_sum,
-       CAST(sum(remap_sig) AS BIGINT) AS remap_sig_sum
-FROM sigs GROUP BY source
+  FROM toks),
+rolled AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+         CAST(sum(orig_sig) AS BIGINT) AS orig_sig_sum,
+         CAST(sum(remap_sig) AS BIGINT) AS remap_sig_sum
+  FROM sigs GROUP BY source)
+SELECT 'per-file' AS layout, * FROM rolled
+UNION ALL
+SELECT 'by-source', * FROM rolled WHERE source IN ({_SRC_IN})
 """
 
 
