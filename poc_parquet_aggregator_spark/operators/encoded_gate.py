@@ -74,16 +74,18 @@ _SRC_FILTER = ["src0", "src19", "src7"]
 
 
 def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Encode the synthesized token table through BOTH physical layouts —
-    per-file (``encode_dataset``) and salted by-source
-    (``encode_dataset_by_source``, round 4) — read each back through
-    ``read_decoded`` (the by-source branch with a source filter, so
-    partition-directory pruning and chunk src_set zones sit on the checked
-    path), remap the vocab, and roll up per source. The oracle never sees
-    the encoded dirs — any bit divergence anywhere in either encode path,
-    the decode kernels, the selective-read pruning, or the remap kernel
-    breaks the value hash."""
+    """Encode the synthesized token table through THREE ingest paths —
+    per-file batch (``encode_dataset``), salted by-source
+    (``encode_dataset_by_source``), and Structured Streaming
+    (``encode_stream``: AvailableNow + foreachBatch into the same commit
+    protocol) — read each back through ``read_decoded`` (the by-source
+    branch with a source filter, so partition-directory pruning and chunk
+    src_set zones sit on the checked path), remap the vocab, and roll up
+    per source. The oracle never sees the encoded dirs — any bit
+    divergence anywhere in any encode path, the decode kernels, the
+    selective-read pruning, or the remap kernel breaks the value hash."""
     from ..encode import encode_dataset, encode_dataset_by_source, read_decoded
+    from ..streaming import encode_stream
     from .dedup import ensure_workers_can_import
     from .vocab import remap_tokens
 
@@ -101,6 +103,7 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     in_dir = os.path.join(base, "input")
     out_file = os.path.join(base, "enc_perfile")
     out_src = os.path.join(base, "enc_bysource")
+    out_stream = os.path.join(base, "enc_stream")
     if not glob.glob(os.path.join(in_dir, "*.parquet")):
         shutil.rmtree(base, ignore_errors=True)
         tmp = in_dir + ".tmp"
@@ -117,6 +120,11 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     try:
         encode_dataset(spark, in_dir, out_file)  # resume-aware: re-runs no-op
         encode_dataset_by_source(spark, in_dir, out_src, n_salts=2)
+        # third branch: the Structured Streaming ingest (AvailableNow +
+        # foreachBatch into the same commit protocol) — the stream
+        # checkpoint makes re-runs no-ops, the manifest keeps per-file
+        # exactly-once, and the SAME oracle rows must come back out
+        encode_stream(spark, in_dir, out_stream)
     finally:
         for k, v in saved.items():
             if v is None:
@@ -143,7 +151,8 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     by_source = rollup(
         read_decoded(spark, out_src, sources=list(_SRC_FILTER)), "by-source"
     )
-    return per_file.unionByName(by_source)
+    streamed = rollup(read_decoded(spark, out_stream), "streaming")
+    return per_file.unionByName(by_source).unionByName(streamed)
 
 
 _D_TOKS = r"""
@@ -180,6 +189,8 @@ rolled AS (
 SELECT 'per-file' AS layout, * FROM rolled
 UNION ALL
 SELECT 'by-source', * FROM rolled WHERE source IN ({_SRC_IN})
+UNION ALL
+SELECT 'streaming', * FROM rolled
 """
 
 
