@@ -266,7 +266,9 @@ def measure_ann_recall(sf_dir: str, cpus: int) -> tuple[float, dict[str, float]]
             S._KMEANS_ITERS = saved
         return round(len(exact & approx) / len(exact), 4) if exact else 1.0
 
-    curve = {f"iters_{i}": recall(i) for i in (0, 1, 2, 3)}
+    # always include the CONFIGURED iteration count (a config > 3 would
+    # otherwise KeyError after the whole bench has run)
+    curve = {f"iters_{i}": recall(i) for i in sorted({0, 1, 2, 3, S._KMEANS_ITERS})}
     stop_spark()
     return curve[f"iters_{S._KMEANS_ITERS}"], curve
 
@@ -403,7 +405,10 @@ def main() -> None:
     #     8-core leg brushes the knee); longer legs average the bursts.
     # Protocol per point: fixed N_PAIRS interleaved pairs, unconditional
     # median, every attempt published.
-    sc14 = run_scaling_pairs(1, 4, _scaling_data_dir(), tasks=32)
+    # tasks=30: Spark bin-packs the 64 ~4.3MB files into exactly 32
+    # two-file splits (the r4 run at tasks=32 landed on a borderline split
+    # size and produced 49 tasks — a 12.25-wave partial on the 4-core leg)
+    sc14 = run_scaling_pairs(1, 4, _scaling_data_dir(), tasks=30)
     sc28 = run_scaling_pairs(2, 8, _scaling4x_data_dir(), tasks=30)
     enc_n, enc_4n = sc14["rep_n"], sc14["rep_4n"]
     # bit-identical decode + read-back throughput, measured once on the

@@ -495,10 +495,11 @@ def _emit_record_batches(
             a.buffers()[1], dtype=np.int64, count=n + 1, offset=a.offset * 8
         )
         per_row += offs[1:] - offs[:-1]
+    cum = np.cumsum(per_row)  # ONE pass; per-segment cut via searchsorted
     s = 0
     while s < n:
-        cum = np.cumsum(per_row[s:])
-        ln = int(np.searchsorted(cum, cap, side="right"))
+        base = cum[s - 1] if s else 0
+        ln = int(np.searchsorted(cum, base + cap, side="right")) - s
         ln = max(1, ln)  # a single >cap row still ships alone (cast may
         # legitimately fail only if ONE row exceeds 2 GiB — impossible for
         # utf8 input, which this data was on encode)

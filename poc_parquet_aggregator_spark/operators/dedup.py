@@ -566,10 +566,15 @@ def adaptive_lsh_bits(n_vectors: int, target_bucket: int = 64) -> int:
     measured in the round-4 dedup_scale run: 4573-row max buckets and
     4.8e8 candidate pairs refused by the cap. Band key bits must grow with
     log2(n); at 10^12 vectors this says ~34 bits (and the hyperplane count
-    stays tiny: bands × bits ≤ a few hundred dot products per vector)."""
+    stays tiny: bands × bits ≤ a few hundred dot products per vector).
+    The clamp at 56 protects the BIGINT key fold (review finding: an
+    earlier 16-bit clamp silently reintroduced the over-cap failure above
+    ~4M vectors), and each vector must supply bands × bits hyperplanes —
+    embedding dim is not a bound (hyperplanes are corpus vectors, one sign
+    bit per plane)."""
     import math
 
-    return max(_LSH_BITS, min(16, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
+    return max(_LSH_BITS, min(56, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
 
 
 def _embedding_banded(
@@ -607,7 +612,9 @@ def _embedding_banded(
                 F.lit(b).alias("band"),
                 F.aggregate(
                     F.slice("bits", b * bits + 1, bits),
-                    F.lit(0),
+                    # BIGINT accumulator: adaptive bits can exceed 31 at
+                    # large n, where an int fold would overflow the key
+                    F.lit(0).cast("long"),
                     lambda acc, x: acc * 2 + x,
                 ).alias("key"),
             )
@@ -738,8 +745,6 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
       * pairs_dropped_by_cap — the quadratic work the _MAX_BUCKET guard
         refused (0 on healthy corpora; >0 is the guard doing its job).
     """
-    from .cache import memo_frame
-
     def bucket_stats(frame: DataFrame, keys: list[str]) -> dict:
         sizes = frame.groupBy(*keys).agg(F.count("*").alias("n"))
         pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
@@ -760,7 +765,7 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
         d["pairs_dropped_by_cap"] = int(d["pairs_dropped_by_cap"] or 0)
         return d
 
-    doc_sets = memo_frame(
+    doc_sets = _memo_frame(
         "doc_sets",
         spark,
         sf,

@@ -100,6 +100,12 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     st = os.stat(f"{sf}/documents.parquet")
     key = hashlib.md5(f"{sf}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:10]
     base = os.path.join("/tmp", f"spark_graft_encgate_{key}")
+    # sweep stale-keyed siblings (prior driver runs with a regenerated
+    # documents table): without this, each regeneration leaks an input +
+    # three encoded trees in /tmp (review finding)
+    for old in glob.glob("/tmp/spark_graft_encgate_*"):
+        if old != base:
+            shutil.rmtree(old, ignore_errors=True)
     in_dir = os.path.join(base, "input")
     out_file = os.path.join(base, "enc_perfile")
     out_src = os.path.join(base, "enc_bysource")

@@ -104,8 +104,8 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
 
 # ───────────────────── IVF-bucketed ANN, k-means-trained ────────────────────
 #
-# Round 3 upgrade (VERDICT r2 #5): the coarse quantizer is TRAINED — two
-# fixed Lloyd iterations of k-means over a deterministic sample (vec_id <
+# Round 3 upgrade (VERDICT r2 #5): the coarse quantizer is TRAINED — a
+# fixed number of Lloyd iterations of k-means over a deterministic sample (vec_id <
 # _TRAIN_N), initialized from the first 8 vectors. Everything stays
 # oracle-expressible: assignment is argmax-cosine with a total tiebreak, and
 # the centroid means are fixed-point (floor(x*1e6+0.5) BIGINT sums / count /
@@ -151,7 +151,8 @@ def _rank_vs_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _trained_centroids(e: DataFrame) -> DataFrame:
-    """Two fixed k-means iterations on the vec_id < _TRAIN_N sample.
+    """_KMEANS_ITERS fixed k-means iterations on the vec_id < _TRAIN_N
+    sample (1 since round 4 — see the recall-curve note above).
     Per-dimension means via posexplode + fixed-point sums; an emptied
     cluster keeps its previous centroid (coalesce)."""
     sample = e.filter(F.col("vec_id") < _TRAIN_N)

@@ -18,6 +18,7 @@ operators have real work:
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -38,12 +39,26 @@ def write_doc_corpus(
     out_dir: str, n_docs: int, dim: int = 64, seed: int = 7
 ) -> dict:
     """Write documents.parquet + embeddings.parquet under ``out_dir``.
-    Idempotent: returns early if both files already exist (content is
-    seed-deterministic, so re-generation would be byte-identical anyway)."""
+    Idempotent: returns early iff both files exist AND the recorded
+    parameters match (content is seed-deterministic, so same-parameter
+    re-generation would be byte-identical; different parameters regenerate
+    rather than silently mislabel)."""
     doc_path = os.path.join(out_dir, "documents.parquet")
     emb_path = os.path.join(out_dir, "embeddings.parquet")
+    meta_path = os.path.join(out_dir, "_corpus_meta.json")
+    params = {"n_docs": n_docs, "dim": dim, "seed": seed}
     if os.path.exists(doc_path) and os.path.exists(emb_path):
-        return {"n_docs": n_docs, "cached": True}
+        # cache hit only for the SAME parameters: a dir name collision
+        # (e.g. 100500 and 100000 docs both mapping to one label) must not
+        # silently publish stats measured on a different corpus
+        try:
+            with open(meta_path) as f:
+                if json.load(f) == params:
+                    return {**params, "cached": True}
+        except OSError:
+            pass
+        for p in (doc_path, emb_path):
+            os.unlink(p)
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng([seed, n_docs])
     words = np.asarray(_word_list(), dtype=object)
@@ -107,4 +122,8 @@ def write_doc_corpus(
         }
     )
     pq.write_table(emb_tbl, emb_path, compression="zstd")
-    return {"n_docs": n_docs, "cached": False}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.rename(tmp, meta_path)
+    return {**params, "cached": False}

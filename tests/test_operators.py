@@ -219,8 +219,9 @@ def test_adaptive_lsh_bits_monotone():
 
     assert adaptive_lsh_bits(1_000) == _LSH_BITS  # gate scale keeps 6
     assert adaptive_lsh_bits(100_000) > _LSH_BITS
-    bits = [adaptive_lsh_bits(n) for n in (1e3, 1e4, 1e5, 1e6, 1e9)]
-    assert bits == sorted(bits) and bits[-1] <= 16
+    bits = [adaptive_lsh_bits(n) for n in (1e3, 1e4, 1e5, 1e6, 1e9, 1e12)]
+    assert bits == sorted(bits) and bits[-1] <= 56  # BIGINT key fold bound
+    assert adaptive_lsh_bits(10**12) == 34  # the 10^12-target from the doc
 
 
 def test_dedup_scale_stats_counts(spark):
