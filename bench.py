@@ -87,6 +87,10 @@ N_SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "800000"))
 SCALING_ZSTD = int(os.environ.get("SPARK_GRAFT_SCALING_ZSTD", "19"))
 ENC_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 N_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "3"))
+# the HARD pair (2->8) gets more attempts: its 8-core leg brushes the
+# bandwidth knee, so individual attempts span ~0.69-1.12 under host drift
+# (r4 replication run) — a 5-attempt median is the cheap robustness lever
+N_PAIRS_HARD = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS_HARD", "5"))
 
 
 def _force(df) -> None:
@@ -215,13 +219,14 @@ def run_scaling_leg(
 
 
 def run_scaling_pairs(
-    n_cores: int, fourn_cores: int, data_dir: str, tasks: int
+    n_cores: int, fourn_cores: int, data_dir: str, tasks: int,
+    n_pairs: int = N_PAIRS,
 ) -> dict:
     """N vs 4N efficiency: a FIXED number of interleaved pairs (N_PAIRS),
     unconditional median — no accept-early path in either direction (the
     r2-flagged one-sided re-measure bias). Every attempt is published."""
     pairs, effs = [], []
-    for _ in range(N_PAIRS):
+    for _ in range(n_pairs):
         n_leg = run_scaling_leg(n_cores, data_dir=data_dir, tasks=tasks)
         f_leg = run_scaling_leg(fourn_cores, data_dir=data_dir, tasks=tasks)
         pairs.append((n_leg, f_leg))
@@ -409,7 +414,7 @@ def main() -> None:
     # two-file splits (the r4 run at tasks=32 landed on a borderline split
     # size and produced 49 tasks — a 12.25-wave partial on the 4-core leg)
     sc14 = run_scaling_pairs(1, 4, _scaling_data_dir(), tasks=30)
-    sc28 = run_scaling_pairs(2, 8, _scaling4x_data_dir(), tasks=30)
+    sc28 = run_scaling_pairs(2, 8, _scaling4x_data_dir(), tasks=30, n_pairs=N_PAIRS_HARD)
     enc_n, enc_4n = sc14["rep_n"], sc14["rep_4n"]
     # bit-identical decode + read-back throughput, measured once on the
     # 400k table (the correctness surface doesn't depend on input size)
