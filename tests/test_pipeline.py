@@ -921,3 +921,43 @@ def test_emit_record_batches_skewed_rows_bounded_segments(monkeypatch):
     for b in batches:
         payload = sum(len(v.as_py()) for v in b.column(0))
         assert payload <= 64 or b.num_rows == 1  # lone oversized row ok
+
+
+def test_length_bucketed_pack_over_encoded(spark, token_dir, tmp_path):
+    """Training-loader composition: encode → length-bucketed selective
+    decode (n_tok_range drives zone-map pruning) → sequence packing. The
+    packed examples must cover exactly the in-range docs, preserve every
+    token, and assign deterministically (same packs on a re-read)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.encode import read_decoded
+    from poc_parquet_aggregator_spark.operators.packing import pack_token_examples
+
+    out = str(tmp_path / "enc")
+    encode_dataset(spark, token_dir, out)
+    lo, hi = 32, 256
+    dec = read_decoded(spark, out, n_tok_range=(lo, hi))
+    want_docs = (
+        spark.read.parquet(token_dir)
+        .filter((F.col("n_tok") >= lo) & (F.col("n_tok") <= hi))
+    )
+    packed = pack_token_examples(dec, ctx_len=1024)
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tok").alias("toks"),
+        F.sum(F.size("tokens")).alias("flat"),
+    ).collect()[0]
+    src = want_docs.agg(
+        F.count("*").alias("docs"), F.sum("n_tok").alias("toks")
+    ).collect()[0]
+    assert agg["docs"] == src["docs"] > 0
+    assert agg["toks"] == src["toks"] == agg["flat"]
+    # deterministic: identical pack assignment on a second read
+    packed2 = pack_token_examples(
+        read_decoded(spark, out, n_tok_range=(lo, hi)), ctx_len=1024
+    )
+    key = ["source", "pack_id"]
+    h = F.md5(F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))))
+    a = {tuple(r[k] for k in key): r["h"] for r in packed.select(*key, h.alias("h")).collect()}
+    b = {tuple(r[k] for k in key): r["h"] for r in packed2.select(*key, h.alias("h")).collect()}
+    assert a == b
