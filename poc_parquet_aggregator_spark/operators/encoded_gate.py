@@ -71,6 +71,8 @@ def _remap_mapping() -> "np.ndarray":
 # by-source branch reads only these sources: exercises the salted layout's
 # directory-level pruning + chunk src_set zones under the cross-engine gate
 _SRC_FILTER = ["src0", "src19", "src7"]
+_POINT_MOD = 29  # point-lookup branch: every 29th doc id
+_LEN_RANGE = (20, 40)  # length-bucket branch: docs with 20-40 tokens
 
 
 def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -158,11 +160,32 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
         read_decoded(spark, out_src, sources=list(_SRC_FILTER)), "by-source"
     )
     streamed = rollup(read_decoded(spark, out_stream), "streaming")
-    return per_file.unionByName(by_source).unionByName(streamed)
+    # selective-read branches over the EXISTING per-file encode (no extra
+    # encode cost) — the 100 TB read patterns under the cross-engine gate:
+    #   * point lookups (doc_id zone maps + manifest file pruning);
+    #   * length-bucketed read (n_tok zone maps — curriculum/packing reads).
+    # The id set is derived from the same table both engines see.
+    ids = [
+        f"doc-{r['doc_id']:012d}"
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") % _POINT_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    points = rollup(read_decoded(spark, out_file, doc_ids=ids), "point-lookup")
+    lengths = rollup(
+        read_decoded(spark, out_file, n_tok_range=_LEN_RANGE), "length-bucket"
+    )
+    return (
+        per_file.unionByName(by_source)
+        .unionByName(streamed)
+        .unionByName(points)
+        .unionByName(lengths)
+    )
 
 
 _D_TOKS = r"""
-  SELECT source,
+  SELECT doc_id AS doc_id_raw, source,
          list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
                         w -> CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER)) AS tokens
   FROM documents
@@ -181,7 +204,7 @@ _SRC_IN = ", ".join(f"'{s}'" for s in _SRC_FILTER)
 ORACLE_ENCODED_ROLLUP = f"""
 WITH toks AS ({_D_TOKS}),
 sigs AS (
-  SELECT source, len(tokens) AS n_tok,
+  SELECT doc_id_raw, source, len(tokens) AS n_tok,
          {_d_sig('tokens')} AS orig_sig,
          {_d_sig(f'list_transform(tokens, x -> CASE WHEN x < {_KEEP} THEN x + 1 ELSE 0 END)')}
            AS remap_sig
@@ -197,6 +220,14 @@ UNION ALL
 SELECT 'by-source', * FROM rolled WHERE source IN ({_SRC_IN})
 UNION ALL
 SELECT 'streaming', * FROM rolled
+UNION ALL
+SELECT 'point-lookup', source, count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(sum(orig_sig) AS BIGINT), CAST(sum(remap_sig) AS BIGINT)
+FROM sigs WHERE doc_id_raw % {_POINT_MOD} = 0 GROUP BY source
+UNION ALL
+SELECT 'length-bucket', source, count(*), CAST(sum(n_tok) AS BIGINT),
+       CAST(sum(orig_sig) AS BIGINT), CAST(sum(remap_sig) AS BIGINT)
+FROM sigs WHERE n_tok BETWEEN {_LEN_RANGE[0]} AND {_LEN_RANGE[1]} GROUP BY source
 """
 
 
