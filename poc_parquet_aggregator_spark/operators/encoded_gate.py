@@ -50,9 +50,8 @@ def _synth_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
         tokens.alias("tokens"),
-        F.size(tokens).cast("int").alias("n_tok"),
         "source",
-    )
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
 
 
 def _sig(tokens: Column) -> Column:

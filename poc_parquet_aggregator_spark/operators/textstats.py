@@ -46,18 +46,22 @@ def q_text_langid_quality(spark: SparkSession, sf: str) -> DataFrame:
     band, mean word length, stopword ratio, alpha ratio → clipped
     composite. One scan, no shuffle, all codegen'd."""
     d = _docs(spark, sf)
-    words = _words()
-    n = F.size(words).cast("double")
+    # project the words array ONCE: inlined into the four score filters +
+    # the size/mean-length expressions it would re-tokenize 6× per row
+    # (higher-order lambdas re-evaluate captured expressions; Catalyst
+    # keeps a multi-use non-cheap projection — the _shingles lesson)
+    dw = d.select("doc_id", "lang", "text", _words().alias("_w"))
+    n = F.size("_w").cast("double")
     scores = {}
     for lang, sw in _STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in sw])
-        hits = F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
+        hits = F.size(F.filter("_w", lambda t: F.array_contains(arr, t)))
         scores[lang] = (hits / n).alias(f"score_{lang}")
     mean_wlen = F.length(F.regexp_replace("text", r"\s+", "")) / n
     alpha_ratio = (
         F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text")
     )
-    d2 = d.select(
+    d2 = dw.select(
         "doc_id", "lang", *scores.values(),
         mean_wlen.alias("_mw"), alpha_ratio.alias("_ar"), n.alias("_n"),
     )
