@@ -315,10 +315,20 @@ def run_dedup_scale(cpus: int) -> dict:
             ),
         ),
     ]:
-        purge_frame_memo()
-        t0 = time.time()
-        n_pairs = fn().count()
-        out[name] = {"wall_s": round(time.time() - t0, 1), "dup_pairs": n_pairs}
+        # two cold runs, MIN reported: contention bursts on this host swing
+        # identical runs 6× (measured 145 s vs 23 s for the same minhash
+        # job minutes apart) — the min is the job, the max is a neighbor
+        walls = []
+        for _ in range(2):
+            purge_frame_memo()
+            t0 = time.time()
+            n_pairs = fn().count()
+            walls.append(round(time.time() - t0, 1))
+        out[name] = {
+            "wall_s": min(walls),
+            "wall_s_runs": walls,
+            "dup_pairs": n_pairs,
+        }
     stats = dedup_scale_stats(spark, corpus)
     for k, v in stats.items():
         out[k].update(v)
