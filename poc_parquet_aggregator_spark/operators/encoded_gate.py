@@ -132,6 +132,15 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
         # checkpoint makes re-runs no-ops, the manifest keeps per-file
         # exactly-once, and the SAME oracle rows must come back out
         encode_stream(spark, in_dir, out_stream)
+        # run BOTH maintenance passes on the per-file table before reading
+        # it back: manifest compaction (loose JSONs → JSONL segment) and
+        # small-file compaction (multi-part stems → one part, crash-safe
+        # dir swap). Every per-file-branch row in the gate thereby also
+        # certifies that maintenance preserves the table bit-exactly.
+        from ..encode import compact_encoded, compact_manifest
+
+        compact_manifest(out_file)
+        compact_encoded(out_file)
     finally:
         for k, v in saved.items():
             if v is None:
