@@ -601,7 +601,9 @@ def _embedding_banded(
     # column-derived-constant equi key (vec_id*0 — not constant-foldable:
     # NULL×0 is NULL, vec_id is a nullable scan column) on BOTH sides so the
     # single-row broadcast attach plans as BroadcastHashJoin, keeping every
-    # executedPlan BNLJ-free; the key is a groupBy key so it survives the
+    # executedPlan of the similarity/ANN family BNLJ-free (the three theta
+    # joins j5/j11/j20 intentionally plan BNLJ against literal ≤3-row
+    # dims); the key is a groupBy key so it survives the
     # aggregate un-folded
     planes = (
         e2.filter(F.col("vec_id") < n_planes)

@@ -139,8 +139,10 @@ def _rank_vs_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     key is a column-derived constant (x*0 — Catalyst can't fold it because
     x*0 is NULL for NULL x) so the fan-out plans as BroadcastHashJoin; a
     bounded-build BNLJ would be equivalent at runtime, but keeping every
-    executedPlan BNLJ-free makes the no-quadratic-join invariant
-    mechanically checkable."""
+    executedPlan of the similarity/ANN family BNLJ-free makes the
+    no-quadratic-join invariant mechanically checkable there (the
+    relational theta joins j5/j11/j20 DO plan BNLJ — by design, against
+    literal ≤3-row build sides)."""
     scored = (
         e.withColumn("_k", F.col("vec_id") * 0)
         .join(F.broadcast(cents.withColumn("_k", F.col("centroid_id") * 0)), "_k")
