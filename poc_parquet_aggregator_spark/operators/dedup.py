@@ -419,6 +419,39 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 _SIMHASH_BITS = 60
 _SIM_SLOTS = 4  # pigeonhole: 4 × 15-bit keys; hamming ≤ 3 ⇒ ≥ 1 exact key
 _SLOT_BITS = _SIMHASH_BITS // _SIM_SLOTS
+# Scale fixes for the pigeonhole keyspace (round 5, VERDICT r4 #2). The
+# 15-bit slot keyspace tops out at 32,768 buckets/slot, so on the Zipf
+# 100k corpus one bucket held 12.5% of docs and the _MAX_BUCKET cap
+# refused 5e9 candidate pairs — silent recall collapse at corpus scale.
+# Two structural fixes, both exact:
+#
+#  1. IDENTICAL-SIGNATURE COLLAPSE. Majority-vote SimHash over Zipfian
+#     token streams concentrates: measured on the 100k corpus, tens of
+#     thousands of docs share one 60-bit signature. No blocking on
+#     signature bits can split an identical-signature clique, and its
+#     pairs are Θ(k²) by the operator's own contract — so cliques are
+#     emitted as STAR EDGES (min-doc representative → member, Hamming 0;
+#     k−1 rows, linear), and pairwise blocking runs over DISTINCT
+#     signatures only. No recall loss: every member carries its rep's
+#     exact signature, so a rep-level pair at Hamming h implies the same
+#     h for all cross-member pairs (derivable via the stars).
+#
+#  2. CASCADED BLOCKING LEVELS. A distinct-signature (slot, key) bucket
+#     that still exceeds the cap is RE-BLOCKED by the 45 signature bits
+#     OUTSIDE the matched slot, partitioned into 4 sub-slots (12+11+11+11
+#     bits); a sub-bucket STILL over the cap re-blocks once more on the
+#     ~33 bits outside its sub-span (9+8+8+8 — the last bit of a 34-bit
+#     remainder staying uncovered is sound: keys read only covered bits,
+#     so an uncovered diff can never break a key match). The Hamming ≤ 3
+#     contract survives exactly at every level: a qualifying pair is exact
+#     in some slot; its ≤3 differing bits all lie outside it, and 4
+#     groups pigeonhole ≤3 diffs ⇒ ≥1 exact group key. Only third-level
+#     buckets still over the cap drop pairs, identically on both engines
+#     (measured on the 100k Zipf corpus: the cascade lifts true rep-pair
+#     recall vs brute force from 0.88 with two levels to the value
+#     recorded in BENCH).
+_SUB_SPANS = [(0, 12), (12, 11), (23, 11), (34, 11)]  # (offset, width) in rest bits
+_SUB2_SPANS = [(0, 9), (9, 8), (17, 8), (25, 8)]  # (offset, width) in rest2 bits
 
 
 def _simhash_signatures(d: DataFrame) -> DataFrame:
@@ -444,64 +477,197 @@ def _simhash_signatures(d: DataFrame) -> DataFrame:
 
 
 def _simhash_keyed(sigs: DataFrame) -> DataFrame:
-    """(doc_id, simhash, slot, key): 4 pigeonhole keys per doc in ONE pass
-    (explode, not a 4-way union that would recompute the signature
-    aggregation 4 times — seen in .explain). Shared by the query and
+    """(doc_id, simhash, slot, key, rest): 4 pigeonhole keys per doc in ONE
+    pass (explode, not a 4-way union that would recompute the signature
+    aggregation 4 times — seen in .explain). ``rest`` carries the 45
+    signature bits outside the slot, packed contiguously — the sub-key
+    source for over-cap buckets. Shared by the query and
     dedup_scale_stats."""
-    slots = F.array(
+    slots = []
+    for i in range(_SIM_SLOTS):
+        key = F.shiftrightunsigned(F.col("simhash"), i * _SLOT_BITS).bitwiseAND(
+            F.lit((1 << _SLOT_BITS) - 1)
+        )
+        rest = F.shiftleft(
+            F.shiftrightunsigned(F.col("simhash"), (i + 1) * _SLOT_BITS),
+            i * _SLOT_BITS,
+        ).bitwiseOR(F.col("simhash").bitwiseAND(F.lit((1 << (i * _SLOT_BITS)) - 1)))
+        slots.append(
+            F.struct(
+                F.lit(i).alias("slot"), key.alias("key"), rest.alias("rest")
+            )
+        )
+    return sigs.select("doc_id", "simhash", F.explode(F.array(*slots)).alias("sk")).select(
+        "doc_id",
+        "simhash",
+        F.col("sk.slot").alias("slot"),
+        F.col("sk.key").alias("key"),
+        F.col("sk.rest").alias("rest"),
+    )
+
+
+def _simhash_reps(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Identical-signature collapse (scale fix #1 above): returns
+    (reps, exact_edges) where ``reps`` holds one row per DISTINCT signature
+    (representative = min doc_id) and ``exact_edges`` the Hamming-0 star
+    edges rep→member for every clique member. ONE shuffle on simhash (the
+    min window); both outputs fork after it."""
+    w = Window.partitionBy("simhash")
+    tagged = sigs.withColumn("rep", F.min("doc_id").over(w))
+    reps = tagged.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "simhash")
+    exact_edges = tagged.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return reps, exact_edges
+
+
+def _simhash_blocked(
+    sigs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three frames the cascaded pigeonhole join actually runs on:
+
+      * ``l1`` — rows whose (slot, key) bucket holds ≤ _MAX_BUCKET docs,
+        joined directly on (slot, key);
+      * ``l2`` — rows of over-cap level-1 buckets, re-blocked by the 4
+        sub-keys drawn from the rest bits (_SUB_SPANS), restricted to
+        sub-buckets ≤ cap;
+      * ``l3_sized`` — rows of over-cap level-2 sub-buckets, re-blocked by
+        the 4 sub²-keys drawn from the remaining bits (_SUB2_SPANS), each
+        row carrying its bucket size ``n_sub`` (the query filters
+        n_sub ≤ cap before joining; dedup_scale_stats reads n_sub raw so
+        the only refused work left — third-level overflow — is visible).
+
+    Plan shape: each level is ONE shuffle on its key set feeding a count
+    window — the same single-pass pattern as _capped_shingles — and the
+    small/big branches of each level fork after that Exchange, so Spark
+    reuses it."""
+    keyed = _simhash_keyed(sigs)
+    w1 = Window.partitionBy("slot", "key")
+    sized1 = keyed.withColumn("n_b", F.count("*").over(w1))
+    l1 = sized1.filter(F.col("n_b") <= _MAX_BUCKET).select(
+        "doc_id", "simhash", "slot", "key"
+    )
+    subs = F.array(
         *[
             F.struct(
-                F.lit(i).alias("slot"),
-                F.shiftrightunsigned(F.col("simhash"), i * _SLOT_BITS)
-                .bitwiseAND(F.lit((1 << _SLOT_BITS) - 1))
-                .alias("key"),
+                F.lit(j).alias("sub_slot"),
+                F.shiftrightunsigned(F.col("rest"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("sub_key"),
+                # rest2: rest with this sub-span removed — the third
+                # level's key source
+                F.shiftleft(
+                    F.shiftrightunsigned(F.col("rest"), off + width), off
+                )
+                .bitwiseOR(F.col("rest").bitwiseAND(F.lit((1 << off) - 1)))
+                .alias("rest2"),
             )
-            for i in range(_SIM_SLOTS)
+            for j, (off, width) in enumerate(_SUB_SPANS)
         ]
     )
-    return sigs.select("doc_id", "simhash", F.explode(slots).alias("sk")).select(
-        "doc_id", "simhash", F.col("sk.slot").alias("slot"), F.col("sk.key").alias("key")
+    sub_all = (
+        sized1.filter(F.col("n_b") > _MAX_BUCKET)
+        .select("doc_id", "simhash", "slot", "key", F.explode(subs).alias("sb"))
+        .select(
+            "doc_id",
+            "simhash",
+            "slot",
+            "key",
+            F.col("sb.sub_slot").alias("sub_slot"),
+            F.col("sb.sub_key").alias("sub_key"),
+            F.col("sb.rest2").alias("rest2"),
+        )
     )
+    w2 = Window.partitionBy("slot", "key", "sub_slot", "sub_key")
+    sized2 = sub_all.withColumn("n_b", F.count("*").over(w2))
+    l2 = sized2.filter(F.col("n_b") <= _MAX_BUCKET).select(
+        "doc_id", "simhash", "slot", "key", "sub_slot", "sub_key"
+    )
+    sub2s = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("s2_slot"),
+                F.shiftrightunsigned(F.col("rest2"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("s2_key"),
+            )
+            for j, (off, width) in enumerate(_SUB2_SPANS)
+        ]
+    )
+    sub2_all = (
+        sized2.filter(F.col("n_b") > _MAX_BUCKET)
+        .select(
+            "doc_id",
+            "simhash",
+            "slot",
+            "key",
+            "sub_slot",
+            "sub_key",
+            F.explode(sub2s).alias("sb"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            "slot",
+            "key",
+            "sub_slot",
+            "sub_key",
+            F.col("sb.s2_slot").alias("s2_slot"),
+            F.col("sb.s2_key").alias("s2_key"),
+        )
+    )
+    w3 = Window.partitionBy(
+        "slot", "key", "sub_slot", "sub_key", "s2_slot", "s2_key"
+    )
+    l3_sized = sub2_all.withColumn("n_sub", F.count("*").over(w3))
+    return l1, l2, l3_sized
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 60-bit signatures (pure JVM, see
-    _simhash_signatures), then pairs within Hamming distance ≤ 3 found by
-    the 4-table pigeonhole trick (split 60 bits into 4 × 15-bit keys;
-    near-dups share ≥ 1 exact key) — bucket join with a bucket-size cap, no
-    cross product. Fully oracle-paired (md5-based hash + BIGINT bit ops
-    exist in DuckDB)."""
-    d = _docs(spark, sf)
-    keyed = _simhash_keyed(_simhash_signatures(d))
-    ok = (
-        keyed.groupBy("slot", "key")
-        .agg(F.count("*").alias("n_bucket"))
-        .filter(F.col("n_bucket") <= _MAX_BUCKET)
-        .select("slot", "key")
-    )
-    keyed = keyed.join(ok, ["slot", "key"])
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.slot") == F.col("b.slot"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+    _simhash_signatures); identical-signature cliques collapse to Hamming-0
+    star edges (rep → member — linear, the only output shape that survives
+    a corpus where signatures concentrate); then representative pairs
+    within Hamming ≤ 3 found by the 4-table pigeonhole trick (split 60
+    bits into 4 × 15-bit keys; near-dups share ≥ 1 exact key) — bucket
+    join with a bucket-size cap, no cross product. Over-cap buckets
+    re-block on 4 sub-keys from the out-of-slot bits (_SUB_SPANS —
+    exact-recall multi-level blocking; see the scale notes above) instead
+    of dropping their pairs wholesale. Fully oracle-paired (md5-based hash
+    + BIGINT bit ops exist in DuckDB)."""
+    reps, exact_edges = _simhash_reps(_simhash_signatures(_docs(spark, sf)))
+    l1, l2, l3_sized = _simhash_blocked(reps)
+    l3 = l3_sized.filter(F.col("n_sub") <= _MAX_BUCKET).drop("n_sub")
+
+    def pairs(frame: DataFrame, keys: list[str]) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        cond = reduce(
+            operator.and_,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
+        ) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        return a.join(b, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
+    cand = (
+        pairs(l1, ["slot", "key"])
+        .unionByName(pairs(l2, ["slot", "key", "sub_slot", "sub_key"]))
+        .unionByName(
+            pairs(l3, ["slot", "key", "sub_slot", "sub_key", "s2_slot", "s2_key"])
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+    return exact_edges.unionByName(rep_pairs)
 
 
 _DUCK_VOTES = ",\n         ".join(
@@ -511,6 +677,13 @@ _DUCK_SIM = " + ".join(
     f"(CASE WHEN 2 * v{b} > n_tok THEN (CAST(1 AS BIGINT) << {b}) "
     f"ELSE CAST(0 AS BIGINT) END)"
     for b in range(_SIMHASH_BITS)
+)
+
+_DUCK_SUBS = ", ".join(
+    f"({j}, {off}, {width})" for j, (off, width) in enumerate(_SUB_SPANS)
+)
+_DUCK_SUB2S = ", ".join(
+    f"({j}, {off}, {width})" for j, (off, width) in enumerate(_SUB2_SPANS)
 )
 
 ORACLE_SIMHASH = f"""
@@ -525,18 +698,64 @@ votes AS (
          {_DUCK_VOTES}
   FROM hashed GROUP BY doc_id),
 sigs AS (SELECT doc_id, {_DUCK_SIM} AS simhash FROM votes),
+tagged AS (
+  SELECT doc_id, simhash, min(doc_id) OVER (PARTITION BY simhash) AS rep
+  FROM sigs),
+exact_edges AS (
+  SELECT rep AS doc_a, doc_id AS doc_b, 0 AS hamming
+  FROM tagged WHERE doc_id <> rep),
+reps AS (SELECT doc_id, simhash FROM tagged WHERE doc_id = rep),
 keyed_all AS (
   SELECT doc_id, simhash, s.slot,
-         (simhash >> (s.slot * {_SLOT_BITS})) & {(1 << _SLOT_BITS) - 1} AS key
-  FROM sigs, (VALUES (0), (1), (2), (3)) s(slot)),
-keyed AS (
-  SELECT * FROM keyed_all
-  QUALIFY count(*) OVER (PARTITION BY slot, key) <= {_MAX_BUCKET}),
+         (simhash >> (s.slot * {_SLOT_BITS})) & {(1 << _SLOT_BITS) - 1} AS key,
+         ((simhash >> ((s.slot + 1) * {_SLOT_BITS})) << (s.slot * {_SLOT_BITS}))
+           | (simhash & ((CAST(1 AS BIGINT) << (s.slot * {_SLOT_BITS})) - 1)) AS rest
+  FROM reps, (VALUES (0), (1), (2), (3)) s(slot)),
+sized1 AS (
+  SELECT *, count(*) OVER (PARTITION BY slot, key) AS n_b FROM keyed_all),
+l1 AS (
+  SELECT doc_id, simhash, slot, key FROM sized1 WHERE n_b <= {_MAX_BUCKET}),
+sub_all AS (
+  SELECT doc_id, simhash, slot, key, t.sub_slot,
+         (rest >> t.sub_off) & ((CAST(1 AS BIGINT) << t.sub_bits) - 1) AS sub_key,
+         ((rest >> (t.sub_off + t.sub_bits)) << t.sub_off)
+           | (rest & ((CAST(1 AS BIGINT) << t.sub_off) - 1)) AS rest2
+  FROM sized1, (VALUES {_DUCK_SUBS}) t(sub_slot, sub_off, sub_bits)
+  WHERE n_b > {_MAX_BUCKET}),
+sized2 AS (
+  SELECT *, count(*) OVER (PARTITION BY slot, key, sub_slot, sub_key) AS n_b
+  FROM sub_all),
+l2 AS (
+  SELECT doc_id, simhash, slot, key, sub_slot, sub_key
+  FROM sized2 WHERE n_b <= {_MAX_BUCKET}),
+sub2_all AS (
+  SELECT doc_id, simhash, slot, key, sub_slot, sub_key, t.s2_slot,
+         (rest2 >> t.s2_off) & ((CAST(1 AS BIGINT) << t.s2_bits) - 1) AS s2_key
+  FROM sized2, (VALUES {_DUCK_SUB2S}) t(s2_slot, s2_off, s2_bits)
+  WHERE n_b > {_MAX_BUCKET}),
+l3 AS (
+  SELECT * FROM sub2_all
+  QUALIFY count(*) OVER (
+    PARTITION BY slot, key, sub_slot, sub_key, s2_slot, s2_key) <= {_MAX_BUCKET}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sim_a, b.simhash AS sim_b
-  FROM keyed a JOIN keyed b
-    ON a.slot = b.slot AND a.key = b.key AND a.doc_id < b.doc_id)
+  SELECT DISTINCT doc_a, doc_b, sim_a, sim_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM l1 a JOIN l1 b
+      ON a.slot = b.slot AND a.key = b.key AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM l2 a JOIN l2 b
+      ON a.slot = b.slot AND a.key = b.key AND a.sub_slot = b.sub_slot
+     AND a.sub_key = b.sub_key AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+    FROM l3 a JOIN l3 b
+      ON a.slot = b.slot AND a.key = b.key AND a.sub_slot = b.sub_slot
+     AND a.sub_key = b.sub_key AND a.s2_slot = b.s2_slot
+     AND a.s2_key = b.s2_key AND a.doc_id < b.doc_id))
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM exact_edges
+UNION ALL
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
@@ -751,13 +970,21 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
       * n_buckets / max_bucket / max_bucket_share — how concentrated the
         worst key is (share = max bucket / items in that band family);
       * candidate_pairs — Σ n·(n−1)/2 over surviving (≤ cap) buckets: the
-        exact number of pairs the verify stage scores, computed from bucket
-        sizes WITHOUT materializing pairs;
+        pairs EMITTED by the bucket self-join (pre-``distinct()`` — a pair
+        sharing k buckets counts k times here; the verify stage scores it
+        once), computed from bucket sizes WITHOUT materializing pairs;
       * pairs_dropped_by_cap — the quadratic work the _MAX_BUCKET guard
         refused (0 on healthy corpora; >0 is the guard doing its job).
+
+    SimHash reports its post-collapse TWO-LEVEL blocking (round 5): the
+    pairwise stage runs over DISTINCT signatures (identical-signature
+    cliques already emitted as linear star edges), so the stats cover
+    direct (slot, key) buckets ≤ cap plus the sub-buckets that over-cap
+    buckets re-block into — the union of bucket families its query joins
+    on — plus the collapse numbers (n_docs / n_distinct_sigs /
+    max_exact_clique) that show WHY the pairwise stage stays small.
     """
-    def bucket_stats(frame: DataFrame, keys: list[str]) -> dict:
-        sizes = frame.groupBy(*keys).agg(F.count("*").alias("n"))
+    def size_stats(sizes: DataFrame) -> dict:
         pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
         row = sizes.agg(
             F.count("*").alias("n_buckets"),
@@ -776,6 +1003,9 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
         d["pairs_dropped_by_cap"] = int(d["pairs_dropped_by_cap"] or 0)
         return d
 
+    def bucket_stats(frame: DataFrame, keys: list[str]) -> dict:
+        return size_stats(frame.groupBy(*keys).agg(F.count("*").alias("n")))
+
     doc_sets = _memo_frame(
         "doc_sets",
         spark,
@@ -789,11 +1019,41 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
     )
     n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     bits = adaptive_lsh_bits(n_vec)
+    sim_sigs = _simhash_signatures(_docs(spark, sf))
+    clique_row = (
+        sim_sigs.groupBy("simhash")
+        .agg(F.count("*").alias("k"))
+        .agg(
+            F.sum("k").alias("n_docs"),
+            F.count("*").alias("n_distinct_sigs"),
+            F.max("k").alias("max_exact_clique"),
+        )
+        .collect()[0]
+    )
+    sim_reps, _ = _simhash_reps(sim_sigs)
+    sim_l1, sim_l2, sim_l3 = _simhash_blocked(sim_reps)
+    sim_sizes = (
+        sim_l1.groupBy("slot", "key")
+        .agg(F.count("*").alias("n"))
+        .select("n")
+        .unionByName(
+            sim_l2.groupBy("slot", "key", "sub_slot", "sub_key")
+            .agg(F.count("*").alias("n"))
+            .select("n")
+        )
+        .unionByName(
+            sim_l3.groupBy(
+                "slot", "key", "sub_slot", "sub_key", "s2_slot", "s2_key"
+            )
+            .agg(F.count("*").alias("n"))
+            .select("n")
+        )
+    )
+    sim_stats = size_stats(sim_sizes)
+    sim_stats.update({k: int(v) for k, v in clique_row.asDict().items()})
     out = {
         "minhash": bucket_stats(_minhash_banded(doc_sets), ["band", "band_key"]),
-        "simhash": bucket_stats(
-            _simhash_keyed(_simhash_signatures(_docs(spark, sf))), ["slot", "key"]
-        ),
+        "simhash": sim_stats,
         # the SCALE configuration: band-key bits sized to the corpus (the
         # gate query pins 6 bits for oracle parity; see adaptive_lsh_bits)
         "embedding_lsh": bucket_stats(

@@ -250,3 +250,107 @@ def test_dedup_scale_stats_counts(spark):
     assert stats["embedding_lsh"]["pairs_dropped_by_cap"] == 0
     for fam in ("minhash", "simhash"):
         assert stats[fam]["n_items"] > 0 and stats[fam]["max_bucket"] >= 1
+
+
+def _simhash_scheme_pairs(ids, sigs, spans, spans2, slot_bits, cap):
+    """Independent Python replication of the three-level cascaded
+    pigeonhole: pairs the blocking scheme emits at bucket cap ``cap``
+    (pre-Hamming filter)."""
+    from collections import defaultdict
+
+    n_slots = 60 // slot_bits
+    found = set()
+
+    def add_all(idxs):
+        for x in range(len(idxs)):
+            for y in range(x + 1, len(idxs)):
+                i, j = idxs[x], idxs[y]
+                found.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+
+    def remove_span(vals, off, width):
+        return {
+            i: ((v >> (off + width)) << off) | (v & ((1 << off) - 1))
+            for i, v in vals.items()
+        }
+
+    def block(vals, idxs, lvl_spans, deeper):
+        for off, width in lvl_spans:
+            sub = defaultdict(list)
+            for i in idxs:
+                sub[(vals[i] >> off) & ((1 << width) - 1)].append(i)
+            for s_idxs in sub.values():
+                if len(s_idxs) <= cap:
+                    add_all(s_idxs)
+                elif deeper:
+                    block(
+                        remove_span(vals, off, width), s_idxs, deeper[0], deeper[1:]
+                    )
+
+    for slot in range(n_slots):
+        buckets = defaultdict(list)
+        for i, s in enumerate(sigs):
+            buckets[(s >> (slot * slot_bits)) & ((1 << slot_bits) - 1)].append(i)
+        rests = {
+            i: ((sigs[i] >> ((slot + 1) * slot_bits)) << (slot * slot_bits))
+            | (sigs[i] & ((1 << (slot * slot_bits)) - 1))
+            for i in range(len(sigs))
+        }
+        for idxs in buckets.values():
+            if len(idxs) <= cap:
+                add_all(idxs)
+            else:
+                block(rests, idxs, spans, (spans2,))
+    return found
+
+
+def test_simhash_two_level_blocking(spark, tmp_path, monkeypatch):
+    """Exact-recall contract of the collapsed two-level pigeonhole (round
+    5): identical-signature cliques come back as Hamming-0 star edges
+    (rep → member); with an unbounded cap the rep-level scheme finds EVERY
+    Hamming≤3 representative pair (pigeonhole completeness vs brute
+    force); with a tiny cap that forces level-1 overflow, the Spark result
+    still equals the scheme's contract exactly (replicated independently
+    in Python) — over-cap buckets re-block on out-of-slot sub-keys instead
+    of dropping their pairs wholesale."""
+    from collections import defaultdict
+
+    from poc_parquet_aggregator_spark.operators import dedup as D
+    from poc_parquet_aggregator_spark.sources import write_doc_corpus
+
+    corpus = str(tmp_path / "sim2l")
+    write_doc_corpus(corpus, 400)  # plants exact + mutated near-dup cliques
+    rows = D._simhash_signatures(D._docs(spark, corpus)).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["simhash"]].append(r["doc_id"])
+    stars = {
+        (min(ds), d) for ds in groups.values() for d in ds if d != min(ds)
+    }
+    assert stars  # the planted exact copies guarantee cliques exist
+    rep_ids = [min(ds) for ds in groups.values()]
+    rep_sigs = list(groups.keys())
+    ground_rep = {
+        (min(rep_ids[i], rep_ids[j]), max(rep_ids[i], rep_ids[j]))
+        for i in range(len(rep_sigs))
+        for j in range(i + 1, len(rep_sigs))
+        if bin(rep_sigs[i] ^ rep_sigs[j]).count("1") <= 3
+    }
+
+    for cap in (1 << 30, 3):
+        expected = stars | {
+            p
+            for p in _simhash_scheme_pairs(
+                rep_ids, rep_sigs, D._SUB_SPANS, D._SUB2_SPANS, D._SLOT_BITS, cap
+            )
+            if p in ground_rep
+        }
+        monkeypatch.setattr(D, "_MAX_BUCKET", cap)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.q_dedup_simhash(spark, corpus).collect()
+        }
+        assert got == expected
+        if cap == 1 << 30:
+            # no bucket overflows ⇒ pigeonhole completeness: every
+            # Hamming≤3 representative pair + every star edge is found
+            assert got == stars | ground_rep
