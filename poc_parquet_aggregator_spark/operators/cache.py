@@ -15,9 +15,42 @@ context (r3 ADVICE).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _FRAME_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def package_py_entries() -> list[tuple[str, str]]:
+    """(abs_path, zip_relpath) of every .py file in this package, sorted by
+    relpath — shared by the worker-pyfiles zip (dedup) and the code-version
+    cache keys below."""
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                entries.append(
+                    (full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+                )
+    return sorted(entries, key=lambda e: e[1])
+
+
+def package_code_hash() -> str:
+    """Content hash of the package source. On-disk caches of ENGINE OUTPUT
+    (e.g. the encoded-gate scratch trees) must include this in their key:
+    a cache keyed on input stats alone would keep reporting green after a
+    regression in the very kernels it certifies (r4 ADVICE)."""
+    h = hashlib.md5()
+    for full, rel in package_py_entries():
+        h.update(rel.encode())
+        h.update(open(full, "rb").read())
+    return h.hexdigest()[:12]
 
 
 def memo_key(kind: str, spark: SparkSession, sf: str) -> tuple[str, str, str]:

@@ -49,24 +49,12 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import os
     import zipfile
 
-    import hashlib
+    from .cache import package_code_hash, package_py_entries
 
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # content-addressed zip name: a stale zip from an earlier session would
     # silently ship outdated module code to the workers
-    entries = []
-    for root, _dirs, files in os.walk(pkg_dir):
-        if "__pycache__" in root:
-            continue
-        for f in sorted(files):
-            if f.endswith(".py"):
-                full = os.path.join(root, f)
-                entries.append((full, os.path.relpath(full, os.path.dirname(pkg_dir))))
-    h = hashlib.md5()
-    for full, rel in sorted(entries, key=lambda e: e[1]):
-        h.update(rel.encode())
-        h.update(open(full, "rb").read())
-    zip_path = f"/tmp/poc_parquet_aggregator_spark_pyfiles-{h.hexdigest()[:12]}.zip"
+    entries = package_py_entries()
+    zip_path = f"/tmp/poc_parquet_aggregator_spark_pyfiles-{package_code_hash()}.zip"
     if not os.path.exists(zip_path):
         # atomic publish: a concurrent session must never see a half-written
         # zip at the shared content-addressed path

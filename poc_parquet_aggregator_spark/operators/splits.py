@@ -98,8 +98,20 @@ _VAL_FRAC, _TEST_FRAC = 0.05, 0.05
 
 
 def _did_sig(col: Column) -> Column:
-    """Order-independent-summable doc signature (44-bit md5 prefix)."""
+    """Order-independent-summable doc signature (44-bit md5 prefix),
+    summed as two 22-bit halves (_sig_aggs) — a single 44-bit sum would
+    wrap int64 at ~500k docs per group (r4 ADVICE); the halves stay exact
+    to 2^41 ≈ 2.2e12 rows per group on both engines."""
     return F.conv(F.substring(F.md5(col), 1, 11), 16, 10).cast("long")
+
+
+def _sig_aggs() -> list[Column]:
+    sig = _did_sig(F.col("doc_id"))
+    return [
+        F.count("*").alias("n_docs"),
+        F.sum(F.shiftrightunsigned(sig, 22)).alias("sig_hi"),
+        F.sum(sig.bitwiseAND(F.lit((1 << 22) - 1))).alias("sig_lo"),
+    ]
 
 
 def q_splits_sample(spark, sf: str):
@@ -109,16 +121,22 @@ def q_splits_sample(spark, sf: str):
     sp = (
         deterministic_split(d, val_frac=_VAL_FRAC, test_frac=_TEST_FRAC)
         .groupBy("split")
-        .agg(F.count("*").alias("n_docs"), F.sum(_did_sig(F.col("doc_id"))).alias("sig_sum"))
-        .select(F.concat(F.lit("split:"), F.col("split")).alias("bucket"), "n_docs", "sig_sum")
+        .agg(*_sig_aggs())
+        .select(
+            F.concat(F.lit("split:"), F.col("split")).alias("bucket"),
+            "n_docs", "sig_hi", "sig_lo",
+        )
     )
     sa = (
         stratified_sample(
             d, _SAMPLE_FRACTIONS, key_col="source", default_fraction=_SAMPLE_DEFAULT
         )
         .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum(_did_sig(F.col("doc_id"))).alias("sig_sum"))
-        .select(F.concat(F.lit("sample:"), F.col("source")).alias("bucket"), "n_docs", "sig_sum")
+        .agg(*_sig_aggs())
+        .select(
+            F.concat(F.lit("sample:"), F.col("source")).alias("bucket"),
+            "n_docs", "sig_hi", "sig_lo",
+        )
     )
     return sp.unionByName(sa)
 
@@ -143,10 +161,12 @@ sa AS (
         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                     WHEN 'src2' THEN 0.25 ELSE {_SAMPLE_DEFAULT} END)
 SELECT 'split:' || split AS bucket, count(*) AS n_docs,
-       CAST(sum(sig) AS BIGINT) AS sig_sum
+       CAST(sum(sig >> 22) AS BIGINT) AS sig_hi,
+       CAST(sum(sig & 4194303) AS BIGINT) AS sig_lo
 FROM sp GROUP BY split
 UNION ALL
-SELECT 'sample:' || source, count(*), CAST(sum(sig) AS BIGINT)
+SELECT 'sample:' || source, count(*),
+       CAST(sum(sig >> 22) AS BIGINT), CAST(sum(sig & 4194303) AS BIGINT)
 FROM sa GROUP BY source
 """
 

@@ -55,7 +55,9 @@ def write_doc_corpus(
             with open(meta_path) as f:
                 if json.load(f) == params:
                     return {**params, "cached": True}
-        except OSError:
+        except (OSError, ValueError):
+            # unreadable OR corrupt/hand-edited meta (json.JSONDecodeError
+            # is a ValueError) both fall through to regeneration
             pass
         for p in (doc_path, emb_path):
             os.unlink(p)

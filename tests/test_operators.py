@@ -111,11 +111,42 @@ def test_dedup_skew_guards_bound_candidates(spark, tmp_path):
     assert 1000 in ex.values()
 
 
+def _make_bmp(w: int, h: int, px: bytes) -> bytes:
+    """Independent struct-based 24bpp BMP builder (test-side reference
+    implementation — not the engine's SQL builder)."""
+    import struct
+
+    assert len(px) == w * h * 3 and (w * 3) % 4 == 0
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        + px
+    )
+
+
+def _make_wav(channels: int, data: bytes) -> bytes:
+    """Independent struct-based 8-bit PCM WAV builder."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, 8000, 8000 * channels, channels, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
     """The multimodal kernels must work over a REAL parquet binary column
     (not just in-query synthesized bytes): write (doc_id, payload: binary)
-    with non-UTF8 bytes, scan it back, and drive both mapInPandas kernels —
-    the Arrow batch contract is the production path for image blobs."""
+    holding genuinely format-valid BMP/WAV files built by an INDEPENDENT
+    struct-based builder, scan them back, and check the decoder parses the
+    actual header fields + body sums; the transform kernel keeps its
+    arbitrary-bytes contract."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -126,11 +157,22 @@ def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
         _transform_batches,
     )
 
-    payloads = [bytes([i % 256 for i in range(n)]) for n in (0, 1, 17, 300, 4096)]
+    media = [
+        _make_bmp(16, 2, bytes(range(96))),
+        _make_wav(2, bytes(range(64))),
+        _make_bmp(32, 5, bytes([7]) * 480),
+        _make_wav(1, bytes([200]) * 160),
+    ]
+    expect = [
+        ("bmp24", 16, 2, 3, sum(range(96))),
+        ("wav8", 32, 1, 2, sum(range(64))),
+        ("bmp24", 32, 5, 3, 7 * 480),
+        ("wav8", 160, 1, 1, 200 * 160),
+    ]
     tbl = pa.table(
         {
-            "doc_id": pa.array(range(len(payloads)), type=pa.int64()),
-            "payload": pa.array(payloads, type=pa.binary()),
+            "doc_id": pa.array(range(len(media)), type=pa.int64()),
+            "payload": pa.array(media, type=pa.binary()),
         }
     )
     path = str(tmp_path / "blobs.parquet")
@@ -140,10 +182,26 @@ def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
     assert dict(df.dtypes)["payload"] == "binary"
 
     meta = {r["doc_id"]: r for r in df.mapInPandas(_decode_batches, schema=DECODED_META).collect()}
-    feats = {r["doc_id"]: r for r in df.mapInPandas(_transform_batches, schema=TRANSFORM_META).collect()}
+    for i, (fmt, w, h, ch, bsum) in enumerate(expect):
+        assert meta[i]["format"] == fmt
+        assert meta[i]["n_bytes"] == len(media[i])
+        assert meta[i]["width"] == w
+        assert meta[i]["height"] == h
+        assert meta[i]["n_channels"] == ch
+        assert meta[i]["body_sum"] == bsum
+
+    payloads = [bytes([i % 256 for i in range(n)]) for n in (0, 1, 17, 300, 4096)]
+    tbl2 = pa.table(
+        {
+            "doc_id": pa.array(range(len(payloads)), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    path2 = str(tmp_path / "blobs2.parquet")
+    pq.write_table(tbl2, path2)
+    df2 = spark.read.parquet(path2)
+    feats = {r["doc_id"]: r for r in df2.mapInPandas(_transform_batches, schema=TRANSFORM_META).collect()}
     for i, p in enumerate(payloads):
-        assert meta[i]["n_bytes"] == len(p)
-        assert meta[i]["width"] == len(p) % 640 + 1
         assert feats[i]["byte_sum"] == sum(p)
         assert feats[i]["first_b"] == (p[0] if p else 0)
         assert feats[i]["last_b"] == (p[-1] if p else 0)
