@@ -90,16 +90,23 @@ _SRC_FILTER = ["src0", "src19", "src7"]
 _POINT_MOD = 29  # point-lookup branch: every 29th doc id
 _LEN_RANGE = (20, 40)  # length-bucket branch: docs with 20-40 tokens
 
-# one open lock fd per scratch base, held (shared) for the process
-# lifetime — see the concurrency note in q_encoded_roundtrip_rollup
+# Two locks per scratch base (the single-lock design would deadlock: a
+# long-lived session holding its liveness mark SHARED forever would block
+# another session's EXCLUSIVE build acquisition indefinitely):
+#   * <base>.build — EXCLUSIVE only across the encode/maintenance critical
+#     section, released when it ends (bounded wait for peers);
+#   * <base>.live  — SHARED, held for the process lifetime: marks "this
+#     session may still be lazily reading these trees", so the
+#     stale-sibling sweep (a non-blocking exclusive probe) never deletes
+#     trees under a live reader.
 _GATE_LOCKS: dict[str, object] = {}
 
 
-def _gate_lock(base: str):
-    f = _GATE_LOCKS.get(base)
+def _gate_lock(path: str):
+    f = _GATE_LOCKS.get(path)
     if f is None or f.closed:
-        f = open(base + ".lock", "a")
-        _GATE_LOCKS[base] = f
+        f = open(path, "a")
+        _GATE_LOCKS[path] = f
     return f
 
 
@@ -138,31 +145,33 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     base = os.path.join("/tmp", f"spark_graft_encgate_{key}")
     # Concurrency (r4 VERDICT #4): two sessions sharing one key raced on
     # the encode dirs / streaming checkpoint (reproduced by the judge with
-    # pytest + plan sweep in parallel). An flock per base dir serializes
-    # the encode section; afterwards the lock is DOWNGRADED to shared and
-    # held for the process lifetime, so the stale-sibling sweep below (a
-    # non-blocking exclusive probe) can never delete trees another live
-    # session may still be lazily reading.
-    lock = _gate_lock(base)
-    fcntl.flock(lock, fcntl.LOCK_EX)
+    # pytest + plan sweep in parallel). See the lock-pair note above
+    # _gate_lock: liveness mark first, then the build lock serializes the
+    # encode section.
+    live = _gate_lock(base + ".live")
+    fcntl.flock(live, fcntl.LOCK_SH)
+    build = _gate_lock(base + ".build")
+    fcntl.flock(build, fcntl.LOCK_EX)
     # sweep stale-keyed siblings (prior driver runs with a regenerated
     # documents table or older code): without this, each regeneration
     # leaks an input + three encoded trees in /tmp (review finding).
-    # Only siblings whose lock yields to a non-blocking exclusive probe
-    # are swept — a held lock means a live session.
+    # Only siblings whose liveness lock yields to a non-blocking exclusive
+    # probe are swept — a held lock means a live session.
     for old in glob.glob("/tmp/spark_graft_encgate_*"):
-        if old == base or old == base + ".lock" or old.endswith(".lock"):
+        if old == base or not os.path.isdir(old):
             continue
         try:
-            probe = open(old + ".lock", "a")
+            probe = open(old + ".live", "a")
             fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
             continue  # in use by a live session
         shutil.rmtree(old, ignore_errors=True)
-        try:
-            os.unlink(old + ".lock")
-        finally:
-            probe.close()
+        for suffix in (".live", ".build"):
+            try:
+                os.unlink(old + suffix)
+            except OSError:
+                pass
+        probe.close()
     in_dir = os.path.join(base, "input")
     out_file = os.path.join(base, "enc_perfile")
     out_src = os.path.join(base, "enc_bysource")
@@ -203,10 +212,10 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-        # encode section done (or failed): downgrade to a shared lock so
-        # concurrent same-key sessions proceed while the sweep probe above
-        # still sees this session as live
-        fcntl.flock(lock, fcntl.LOCK_SH)
+        # encode section done (or failed): release the build lock so
+        # concurrent same-key sessions proceed; the liveness mark stays
+        # held (shared) for the process lifetime
+        fcntl.flock(build, fcntl.LOCK_UN)
 
     def rollup(dec: DataFrame, layout: str) -> DataFrame:
         with_orig = dec.withColumn("orig_sig", _sig(F.col("tokens")))
