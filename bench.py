@@ -378,7 +378,7 @@ def _simhash_true_recall(spark, corpus: str) -> dict:
     from poc_parquet_aggregator_spark.operators import dedup as D
     from pyspark.sql import functions as F
 
-    reps, _ = D._simhash_reps(D._simhash_signatures(D._docs(spark, corpus)))
+    reps, _ = D._simhash_reps(D._simhash_tagged(spark, corpus))
     rows = reps.collect()
     if len(rows) > 40_000:
         return {"true_recall": None, "skipped": f"{len(rows)} distinct sigs"}

@@ -494,14 +494,26 @@ def _simhash_keyed(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _simhash_reps(sigs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _simhash_tagged(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, simhash, rep) — signatures with their clique representative
+    (min doc_id per identical signature). Deliberately NOT memo-persisted,
+    although the cascade forks this subtree up to 7 ways (exact edges +
+    two sides of each blocking level): every fork re-joins the SAME
+    shuffle under the signature aggregation (ReuseExchange), so a fork
+    replays only the post-shuffle agg — a persist() was MEASURED slower
+    at sf0.1 (3.5 → 6.8 s: the storage write + materialization barrier
+    cost more than the replayed agg) and neutral at the 100k corpus
+    (11.3 → 11.1 s)."""
+    return _simhash_signatures(_docs(spark, sf)).withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("simhash"))
+    )
+
+
+def _simhash_reps(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Identical-signature collapse (scale fix #1 above): returns
     (reps, exact_edges) where ``reps`` holds one row per DISTINCT signature
     (representative = min doc_id) and ``exact_edges`` the Hamming-0 star
-    edges rep→member for every clique member. ONE shuffle on simhash (the
-    min window); both outputs fork after it."""
-    w = Window.partitionBy("simhash")
-    tagged = sigs.withColumn("rep", F.min("doc_id").over(w))
+    edges rep→member for every clique member."""
     reps = tagged.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "simhash")
     exact_edges = tagged.filter(F.col("doc_id") != F.col("rep")).select(
         F.col("rep").alias("doc_a"),
@@ -625,7 +637,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     exact-recall multi-level blocking; see the scale notes above) instead
     of dropping their pairs wholesale. Fully oracle-paired (md5-based hash
     + BIGINT bit ops exist in DuckDB)."""
-    reps, exact_edges = _simhash_reps(_simhash_signatures(_docs(spark, sf)))
+    reps, exact_edges = _simhash_reps(_simhash_tagged(spark, sf))
     l1, l2, l3_sized = _simhash_blocked(reps)
     l3 = l3_sized.filter(F.col("n_sub") <= _MAX_BUCKET).drop("n_sub")
 
@@ -1007,9 +1019,9 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
     )
     n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     bits = adaptive_lsh_bits(n_vec)
-    sim_sigs = _simhash_signatures(_docs(spark, sf))
+    sim_tagged = _simhash_tagged(spark, sf)
     clique_row = (
-        sim_sigs.groupBy("simhash")
+        sim_tagged.groupBy("simhash")
         .agg(F.count("*").alias("k"))
         .agg(
             F.sum("k").alias("n_docs"),
@@ -1018,7 +1030,7 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
         )
         .collect()[0]
     )
-    sim_reps, _ = _simhash_reps(sim_sigs)
+    sim_reps, _ = _simhash_reps(sim_tagged)
     sim_l1, sim_l2, sim_l3 = _simhash_blocked(sim_reps)
     sim_sizes = (
         sim_l1.groupBy("slot", "key")
