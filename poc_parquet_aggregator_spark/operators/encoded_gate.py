@@ -165,12 +165,12 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
             fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
             continue  # in use by a live session
+        # only the encode TREES are swept; the lock files stay in place
+        # (bytes-sized) so their inodes remain stable — unlinking them
+        # would orphan the inode a concurrent session may be mid-acquire
+        # on, silently splitting the liveness protocol across two inodes
+        # (self-review r5)
         shutil.rmtree(old, ignore_errors=True)
-        for suffix in (".live", ".build"):
-            try:
-                os.unlink(old + suffix)
-            except OSError:
-                pass
         probe.close()
     in_dir = os.path.join(base, "input")
     out_file = os.path.join(base, "enc_perfile")

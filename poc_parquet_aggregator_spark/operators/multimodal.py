@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -155,10 +155,19 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 v |= flat[off + i] << (8 * i)
             return v
 
+        # length guards BEFORE any header gather: in a concatenated buffer
+        # a short/empty payload's fixed-offset reads would land in the
+        # NEIGHBOR's bytes and mis-parse silently (self-review r5). 44 is
+        # the smallest complete header of either format (WAV); BMP needs
+        # its full 54 bytes, checked after the sniff.
+        if bool((lens < 44).any()):
+            raise ValueError("payload shorter than any supported header")
         is_bmp = (flat[starts] == 0x42) & (flat[starts + 1] == 0x4D)  # 'BM'
         is_wav = (flat[starts] == 0x52) & (flat[starts + 1] == 0x49)  # 'RI'
         if not bool((is_bmp | is_wav).all()):
             raise ValueError("unknown payload magic in multimodal batch")
+        if bool((lens[is_bmp] < 54).any()):
+            raise ValueError("truncated BMP header")
         # BMP: data offset@10, width@18, height@22, bpp@28 (must be 24)
         # WAV: channels@22, bits@34 (must be 8), data size@40, body@44
         data_off = np.where(is_bmp, le(starts + 10, 4), 44)
@@ -172,6 +181,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raise ValueError("unsupported bit depth")
         body_len = np.where(is_bmp, width * height * 3, le(starts + 40, 4))
         b0, b1 = starts + data_off, starts + data_off + body_len
+        if bool((b1 > starts + lens).any()):
+            raise ValueError("payload body truncated (header claims more bytes)")
         bounds = np.empty(2 * len(bufs), dtype=np.int64)
         bounds[0::2], bounds[1::2] = b0, b1
         body_sum = np.add.reduceat(flat, bounds)[0::2]

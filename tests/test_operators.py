@@ -190,6 +190,26 @@ def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
         assert meta[i]["n_channels"] == ch
         assert meta[i]["body_sum"] == bsum
 
+    # malformed payloads must raise the kernel's ValueError (wrapped in a
+    # Spark task failure), never silently mis-parse neighbor bytes
+    for bad in (
+        b"",  # shorter than any header
+        b"XX" + bytes(60),  # unknown magic
+        _make_bmp(16, 2, bytes(96))[:-10],  # header claims more body bytes
+    ):
+        tbl_bad = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "payload": pa.array([bad], type=pa.binary()),
+            }
+        )
+        pbad = str(tmp_path / "bad.parquet")
+        pq.write_table(tbl_bad, pbad)
+        with pytest.raises(Exception, match="payload|magic|truncated"):
+            spark.read.parquet(pbad).mapInPandas(
+                _decode_batches, schema=DECODED_META
+            ).collect()
+
     payloads = [bytes([i % 256 for i in range(n)]) for n in (0, 1, 17, 300, 4096)]
     tbl2 = pa.table(
         {
