@@ -346,9 +346,12 @@ def run_dedup_scale(cpus: int) -> dict:
     ]:
         # two cold runs, MIN reported: contention bursts on this host swing
         # identical runs 6× (measured 145 s vs 23 s for the same minhash
-        # job minutes apart) — the min is the job, the max is a neighbor
-        walls = []
+        # job minutes apart) — the min is the job, the max is a neighbor;
+        # a memcpy probe before each run makes the attribution visible in
+        # the record (r5: the 39.8 vs 14.8 s minhash spread was the host)
+        walls, probes = [], []
         for _ in range(2):
+            probes.append(memcpy_probe_gbs())
             purge_frame_memo()
             t0 = time.time()
             n_pairs = fn().count()
@@ -356,6 +359,7 @@ def run_dedup_scale(cpus: int) -> dict:
         out[name] = {
             "wall_s": min(walls),
             "wall_s_runs": walls,
+            "host_probes_gbs": probes,
             "dup_pairs": n_pairs,
         }
     stats = dedup_scale_stats(spark, corpus)
