@@ -805,6 +805,14 @@ def adaptive_lsh_bits(n_vectors: int, target_bucket: int = 64) -> int:
     return max(_LSH_BITS, min(56, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
 
 
+def _embedding_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, v: array<double>) — the corpus vectors, shared by the band
+    builder and the verify stage's id→vector re-attach."""
+    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select("vec_id", v.alias("v"))
+
+
 def _embedding_banded(
     spark: SparkSession, sf: str, bits: int = _LSH_BITS
 ) -> DataFrame:
@@ -812,9 +820,7 @@ def _embedding_banded(
     the gate query — pinned at the oracle's 6 bits — and the scale path,
     which passes ``adaptive_lsh_bits``)."""
     n_planes = _LSH_BANDS * bits
-    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e2 = e.select("vec_id", v.alias("v"))
+    e2 = _embedding_vectors(spark, sf)
     # broadcast single-row hyperplane frame; array_sort(collect_list) pins
     # plane order (collect_list alone is partition-order-dependent)
     # column-derived-constant equi key (vec_id*0 — not constant-foldable:
@@ -873,8 +879,17 @@ def embedding_near_dup(
         .filter(F.col("n_bucket") <= _MAX_BUCKET)
         .select("band", "key")
     )
-    banded = banded.join(ok, ["band", "key"])
-    a, b = banded.alias("a"), banded.alias("b")
+    # ids ONLY through the bucket self-join and the distinct: carrying the
+    # two 64-dim double arrays through them shuffled ~1 KB/candidate
+    # (≈30 GB at the 100k corpus's 30M candidates, on a 15 GB/s host) —
+    # measured 65-155 s walls; the id-only join + distinct moves ~16 B per
+    # candidate and the vectors are re-attached ONCE per surviving pair.
+    # At this corpus the vector frame (~51 MB) is explicitly broadcast; at
+    # corpus sizes past broadcast comfort the same two joins run as
+    # shuffle joins keyed on vec_id and the asymmetry stands (candidates
+    # shrink by the distinct + threshold before ever touching vectors).
+    banded_ids = banded.select("vec_id", "band", "key").join(ok, ["band", "key"])
+    a, b = banded_ids.alias("a"), banded_ids.alias("b")
     cand = (
         a.join(
             b,
@@ -885,14 +900,37 @@ def embedding_near_dup(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .distinct()
     )
-    cos = _vdot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_vdot(F.col("va"), F.col("va"))) * F.sqrt(_vdot(F.col("vb"), F.col("vb")))
+    # norms hoisted to ONCE per vector (100k sqrt-dots) instead of twice
+    # per candidate (2×30M interpreted HOF dots — profiled as the bulk of
+    # the verify stage's wall). IEEE-identical to inline computation (same
+    # inputs, same left-to-right fold), so the DuckDB oracle needs no
+    # change and the value hash is unaffected.
+    vecs = _embedding_vectors(spark, sf).select(
+        "vec_id", "v", F.sqrt(_vdot(F.col("v"), F.col("v"))).alias("norm")
     )
+    cand = cand.join(
+        F.broadcast(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("norm").alias("norm_a"),
+            )
+        ),
+        "vec_a",
+    ).join(
+        F.broadcast(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("norm").alias("norm_b"),
+            )
+        ),
+        "vec_b",
+    )
+    cos = _vdot(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     # raw double: both engines fold left-to-right → bit-identical cosines;
     # fractional round() would be LESS portable (string-vs-binary rounding)
     return (
