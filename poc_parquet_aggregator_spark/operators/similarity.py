@@ -21,20 +21,23 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _N_CENTROIDS = 8  # vec_id < 8 double as IVF centroids (deterministic)
 
 
-def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select("vec_id", v.alias("v"))
-
-
 def _dot(x: Column, y: Column) -> Column:
     return F.aggregate(
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
     )
 
 
-def _cos(x: Column, y: Column) -> Column:
-    return _dot(x, y) / (F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)))
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, v, nv) — corpus vectors with their norm hoisted to ONCE
+    per vector row BEFORE any fan-out join (r5, same finding as the
+    embedding-LSH verify): cosine per pair then costs one interpreted HOF
+    dot instead of three. sqrt(dot(v,v)) is the same IEEE value wherever
+    computed (identical input, identical left-to-right fold), so the
+    DuckDB oracles keep their inline form unchanged."""
+    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e2 = e.select("vec_id", v.alias("v"))
+    return e2.withColumn("nv", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
 
 # no-init fold: v1+v2+… matches Spark's aggregate(0.0 + v1 + v2 + …) exactly
@@ -62,6 +65,7 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
         (F.col("vec_id") * 0).alias("_k"),
     )
     # column-derived-constant-key BroadcastHashJoin + post-filter (a
@@ -75,7 +79,7 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -143,10 +147,17 @@ def _rank_vs_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     no-quadratic-join invariant mechanically checkable there (the
     relational theta joins j5/j11/j20 DO plan BNLJ — by design, against
     literal ≤3-row build sides)."""
+    cents2 = cents.withColumn("ncv", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     scored = (
         e.withColumn("_k", F.col("vec_id") * 0)
-        .join(F.broadcast(cents.withColumn("_k", F.col("centroid_id") * 0)), "_k")
-        .select("vec_id", "v", "centroid_id", _cos(F.col("v"), F.col("cv")).alias("csim"))
+        .join(F.broadcast(cents2.withColumn("_k", F.col("centroid_id") * 0)), "_k")
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            "centroid_id",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))).alias("csim"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     return scored.withColumn("rn", F.row_number().over(w))
@@ -203,12 +214,15 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         _trained_centroids(e).collect(), "centroid_id long, cv array<double>"
     )
     ranked = _rank_vs_centroids(e, cents)
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "centroid_id")
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "nv", "centroid_id"
+    )
     queries = (
         ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
             F.col("centroid_id").alias("qc"),
         )
     )
@@ -219,7 +233,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     scored2 = bucket_pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        _cos(F.col("qv"), F.col("v")).alias("cosine"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))).alias("cosine"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored2.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= 5)
