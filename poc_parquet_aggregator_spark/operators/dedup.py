@@ -781,10 +781,11 @@ _COS_THRESHOLD = 0.35  # ≈2.8σ on the near-orthogonal synthetics; a real
 # near-dup corpus would use ~0.9, where this band/bit choice has ~92% recall
 
 
-def _vdot(x, y):
-    return F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
-    )
+# canonical left-to-right dot fold + vector reader (with hoisted norm) —
+# ONE implementation shared with the ANN family so the IEEE fold that the
+# DuckDB oracles mirror can never diverge between modules (self-review r5)
+from .similarity import _dot as _vdot  # noqa: E402
+from .similarity import _emb as _embedding_vectors  # noqa: E402
 
 
 def adaptive_lsh_bits(n_vectors: int, target_bucket: int = 64) -> int:
@@ -803,14 +804,6 @@ def adaptive_lsh_bits(n_vectors: int, target_bucket: int = 64) -> int:
     import math
 
     return max(_LSH_BITS, min(56, math.ceil(math.log2(max(n_vectors, 2) / target_bucket))))
-
-
-def _embedding_vectors(spark: SparkSession, sf: str) -> DataFrame:
-    """(vec_id, v: array<double>) — the corpus vectors, shared by the band
-    builder and the verify stage's id→vector re-attach."""
-    e = spread(spark.read.parquet(f"{sf}/embeddings.parquet"))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return e.select("vec_id", v.alias("v"))
 
 
 def _embedding_banded(
@@ -863,7 +856,10 @@ def _embedding_banded(
 
 
 def embedding_near_dup(
-    spark: SparkSession, sf: str, bits: int = _LSH_BITS
+    spark: SparkSession,
+    sf: str,
+    bits: int = _LSH_BITS,
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH: bands×bits sign-bits
     per vector (vs the broadcast hyperplane set), folded into band keys in
@@ -884,10 +880,6 @@ def embedding_near_dup(
     # (≈30 GB at the 100k corpus's 30M candidates, on a 15 GB/s host) —
     # measured 65-155 s walls; the id-only join + distinct moves ~16 B per
     # candidate and the vectors are re-attached ONCE per surviving pair.
-    # At this corpus the vector frame (~51 MB) is explicitly broadcast; at
-    # corpus sizes past broadcast comfort the same two joins run as
-    # shuffle joins keyed on vec_id and the asymmetry stands (candidates
-    # shrink by the distinct + threshold before ever touching vectors).
     banded_ids = banded.select("vec_id", "band", "key").join(ok, ["band", "key"])
     a, b = banded_ids.alias("a"), banded_ids.alias("b")
     cand = (
@@ -905,27 +897,37 @@ def embedding_near_dup(
     )
     # norms hoisted to ONCE per vector (100k sqrt-dots) instead of twice
     # per candidate (2×30M interpreted HOF dots — profiled as the bulk of
-    # the verify stage's wall). IEEE-identical to inline computation (same
-    # inputs, same left-to-right fold), so the DuckDB oracle needs no
-    # change and the value hash is unaffected.
-    vecs = _embedding_vectors(spark, sf).select(
-        "vec_id", "v", F.sqrt(_vdot(F.col("v"), F.col("v"))).alias("norm")
-    )
+    # the verify stage's wall); _emb carries the norm already, and the
+    # value is IEEE-identical to inline computation (same inputs, same
+    # left-to-right fold), so the DuckDB oracle needs no change.
+    # Vector re-attach: broadcast only while the vector frame actually
+    # fits broadcast comfort (~51 MB at 100k × 64 doubles); past the
+    # threshold the SAME two joins run as shuffle joins keyed on vec_id —
+    # the asymmetry stands either way (candidates shrink via the distinct
+    # + threshold before ever touching vectors). A forced broadcast would
+    # OOM the driver on the multi-million-vector corpora this operator's
+    # ``bits`` knob exists for.
+    if broadcast_vectors is None:
+        broadcast_vectors = (
+            spark.read.parquet(f"{sf}/embeddings.parquet").count() <= 250_000
+        )
+    attach = F.broadcast if broadcast_vectors else (lambda df: df)
+    vecs = _embedding_vectors(spark, sf)
     cand = cand.join(
-        F.broadcast(
+        attach(
             vecs.select(
                 F.col("vec_id").alias("vec_a"),
                 F.col("v").alias("va"),
-                F.col("norm").alias("norm_a"),
+                F.col("nv").alias("norm_a"),
             )
         ),
         "vec_a",
     ).join(
-        F.broadcast(
+        attach(
             vecs.select(
                 F.col("vec_id").alias("vec_b"),
                 F.col("v").alias("vb"),
-                F.col("norm").alias("norm_b"),
+                F.col("nv").alias("norm_b"),
             )
         ),
         "vec_b",

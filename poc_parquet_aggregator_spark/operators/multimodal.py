@@ -171,15 +171,27 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # BMP: data offset@10, width@18, height@22, bpp@28 (must be 24)
         # WAV: channels@22, bits@34 (must be 8), data size@40, body@44
         data_off = np.where(is_bmp, le(starts + 10, 4), 44)
-        width = np.where(
-            is_bmp, le(starts + 18, 4), le(starts + 40, 4) // le(starts + 22, 2)
-        )
-        height = np.where(is_bmp, le(starts + 22, 4), 1)
         n_channels = np.where(is_bmp, 3, le(starts + 22, 2))
+        bmp_w, bmp_h = le(starts + 18, 4), le(starts + 22, 4)
+        # dimension/channel sanity BEFORE any arithmetic that uses them:
+        # header ints are attacker-controlled; width*height*3 can wrap
+        # int64 past the truncation guard, and channels=0 would divide by
+        # zero below (self-review r5)
+        dims_ok = np.where(
+            is_bmp,
+            (bmp_w >= 1) & (bmp_w <= 1 << 20) & (bmp_h >= 1) & (bmp_h <= 1 << 20),
+            (n_channels >= 1) & (n_channels <= 64),
+        )
+        if not bool(dims_ok.all()):
+            raise ValueError("implausible dimensions/channels in payload header")
+        width = np.where(
+            is_bmp, bmp_w, le(starts + 40, 4) // np.maximum(n_channels, 1)
+        )
+        height = np.where(is_bmp, bmp_h, 1)
         depth = np.where(is_bmp, le(starts + 28, 2), le(starts + 34, 2))
         if not bool(np.where(is_bmp, depth == 24, depth == 8).all()):
             raise ValueError("unsupported bit depth")
-        body_len = np.where(is_bmp, width * height * 3, le(starts + 40, 4))
+        body_len = np.where(is_bmp, bmp_w * bmp_h * 3, le(starts + 40, 4))
         b0, b1 = starts + data_off, starts + data_off + body_len
         if bool((b1 > starts + lens).any()):
             raise ValueError("payload body truncated (header claims more bytes)")

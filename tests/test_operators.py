@@ -192,10 +192,22 @@ def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
 
     # malformed payloads must raise the kernel's ValueError (wrapped in a
     # Spark task failure), never silently mis-parse neighbor bytes
+    import struct
+
+    huge_bmp = (  # width*height*3 wraps int64 without the dims guard
+        b"BM"
+        + struct.pack("<IHHI", 0, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, 1 << 30, 1 << 30, 1, 24, 0, 0, 2835, 2835, 0, 0
+        )
+        + bytes(16)
+    )
     for bad in (
         b"",  # shorter than any header
         b"XX" + bytes(60),  # unknown magic
         _make_bmp(16, 2, bytes(96))[:-10],  # header claims more body bytes
+        huge_bmp,  # implausible dims (int64-wrap attempt)
+        _make_wav(0, bytes(16)),  # zero channels (division-by-zero attempt)
     ):
         tbl_bad = pa.table(
             {
@@ -205,7 +217,7 @@ def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
         )
         pbad = str(tmp_path / "bad.parquet")
         pq.write_table(tbl_bad, pbad)
-        with pytest.raises(Exception, match="payload|magic|truncated"):
+        with pytest.raises(Exception, match="payload|magic|truncated|implausible"):
             spark.read.parquet(pbad).mapInPandas(
                 _decode_batches, schema=DECODED_META
             ).collect()
