@@ -155,10 +155,19 @@ def _scaling4x_data_dir() -> str:
     return _token_dir("tokens_scaling1600", N_SCALING4X_DOCS, 12_500)
 
 
-def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, float]]:
+def run_queries(
+    sf_dir: str, cpus: int
+) -> tuple[dict[str, float], dict[str, float], list[float]]:
     from poc_parquet_aggregator_spark.operators import QUERIES
     from poc_parquet_aggregator_spark.plans import get_spark, stop_spark
 
+    # one memcpy probe before each query GROUP (r5 VERDICT #3): the
+    # scaling legs were already probe-attributable but a contended capture
+    # of the query section was not — with these two floats in the compact
+    # line a reader can classify the driver's record as clean/contended
+    # without opening the detail file (clean windows read ~7-8 GB/s at 1
+    # process; contended bursts read 3-5)
+    group_probes = [memcpy_probe_gbs()]
     spark = get_spark("bench_queries", cores=cpus)
     # JVM/JIT warmup on the tiny sibling sf when present (falls back to
     # sf_dir itself — a missing fixture must not crash the whole bench,
@@ -194,12 +203,13 @@ def run_queries(sf_dir: str, cpus: int) -> tuple[dict[str, float], dict[str, flo
     # measured the extended group 3-22× slower than a clean session
     # (text_rolling_hash 6.6 s vs 0.69 s) purely from session decay
     stop_spark()
+    group_probes.append(memcpy_probe_gbs())
     spark = get_spark("bench_queries_ext", cores=cpus)
     for wq in ("a1_daily_rollup", "star_join_revenue"):
         _force(QUERIES[wq](spark, warm_dir))
     ext = {name: timed_median(name) for name in EXTENDED}
     stop_spark()
-    return out, ext
+    return out, ext, group_probes
 
 
 def run_scaling_leg(
@@ -485,7 +495,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    queries, ext_queries = run_queries(sf_dir, cpus)
+    queries, ext_queries, query_probes = run_queries(sf_dir, cpus)
 
     # N vs 4N scaling criterion (zstd-19 = CPU-bound; see N_SCALING_DOCS
     # note), at TWO operating points since round 4 (VERDICT r3 #2):
@@ -522,6 +532,7 @@ def main() -> None:
     detail = {
         "queries": queries,
         "queries_extended": ext_queries,
+        "query_group_probes_gbs": query_probes,
         "ann_ivf_recall5": recall5,
         "ann_ivf_recall_curve": recall_curve,
         "dedup_scale": dedup_scale,
@@ -571,6 +582,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "queries_extended": ext_queries,
+        "query_probes_gbs": query_probes,
         "ann_ivf_recall5": recall5,
         "simhash_true_recall": dedup_scale["simhash"].get("true_recall"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -587,9 +599,19 @@ def main() -> None:
         },
         "detail": detail_rel,
     }
+    # never overflow the driver's ~2000-char tail capture again (the r4
+    # failure mode). Drop optional keys IN ORDER until the line fits —
+    # the r5 single-pop guard could still overflow if several families
+    # grew at once (ADVICE r5). Everything dropped stays in the detail
+    # file; "queries" + the encode bars are never dropped.
+    _droppable = ["queries_extended", "query_probes_gbs",
+                  "simhash_true_recall", "ann_ivf_recall5"]
     line = json.dumps(compact)
-    if len(line) > 1800:  # never overflow the driver's tail capture again
-        compact.pop("queries_extended")  # still in the detail file
+    while len(line) > 1800 and _droppable:
+        compact.pop(_droppable.pop(0), None)
+        line = json.dumps(compact)
+    if len(line) > 1800:  # hard floor: truncate detail path last
+        compact["detail"] = "BENCH/detail_latest.json"
         line = json.dumps(compact)
     print(line)
 

@@ -162,16 +162,24 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
             continue
         try:
             probe = open(old + ".live", "a")
-            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
-            continue  # in use by a live session
-        # only the encode TREES are swept; the lock files stay in place
-        # (bytes-sized) so their inodes remain stable — unlinking them
-        # would orphan the inode a concurrent session may be mid-acquire
-        # on, silently splitting the liveness protocol across two inodes
-        # (self-review r5)
-        shutil.rmtree(old, ignore_errors=True)
-        probe.close()
+            continue
+        # close the probe fd on EVERY exit from this block: the r5 shape
+        # leaked one fd per live sibling per gate call when the LOCK_NB
+        # flock raised (ADVICE r5)
+        try:
+            try:
+                fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                continue  # in use by a live session
+            # only the encode TREES are swept; the lock files stay in place
+            # (bytes-sized) so their inodes remain stable — unlinking them
+            # would orphan the inode a concurrent session may be mid-acquire
+            # on, silently splitting the liveness protocol across two inodes
+            # (self-review r5)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            probe.close()
     in_dir = os.path.join(base, "input")
     out_file = os.path.join(base, "enc_perfile")
     out_src = os.path.join(base, "enc_bysource")

@@ -342,10 +342,10 @@ def test_dedup_scale_stats_counts(spark):
         assert stats[fam]["n_items"] > 0 and stats[fam]["max_bucket"] >= 1
 
 
-def _simhash_scheme_pairs(ids, sigs, spans, spans2, slot_bits, cap):
-    """Independent Python replication of the three-level cascaded
-    pigeonhole: pairs the blocking scheme emits at bucket cap ``cap``
-    (pre-Hamming filter)."""
+def _simhash_scheme_pairs(ids, sigs, spans, deeper_spans, slot_bits, cap):
+    """Independent Python replication of the cascaded pigeonhole (depth =
+    2 + len(deeper_spans) levels): pairs the blocking scheme emits at
+    bucket cap ``cap`` (pre-Hamming filter)."""
     from collections import defaultdict
 
     n_slots = 60 // slot_bits
@@ -389,19 +389,20 @@ def _simhash_scheme_pairs(ids, sigs, spans, spans2, slot_bits, cap):
             if len(idxs) <= cap:
                 add_all(idxs)
             else:
-                block(rests, idxs, spans, (spans2,))
+                block(rests, idxs, spans, deeper_spans)
     return found
 
 
-def test_simhash_two_level_blocking(spark, tmp_path, monkeypatch):
-    """Exact-recall contract of the collapsed two-level pigeonhole (round
-    5): identical-signature cliques come back as Hamming-0 star edges
-    (rep → member); with an unbounded cap the rep-level scheme finds EVERY
-    Hamming≤3 representative pair (pigeonhole completeness vs brute
-    force); with a tiny cap that forces level-1 overflow, the Spark result
-    still equals the scheme's contract exactly (replicated independently
-    in Python) — over-cap buckets re-block on out-of-slot sub-keys instead
-    of dropping their pairs wholesale."""
+def test_simhash_cascaded_blocking(spark, tmp_path, monkeypatch):
+    """Exact-recall contract of the collapsed cascaded pigeonhole (4
+    levels since round 6): identical-signature cliques come back as
+    Hamming-0 star edges (rep → member); with an unbounded cap the
+    rep-level scheme finds EVERY Hamming≤3 representative pair (pigeonhole
+    completeness vs brute force); with a tiny cap that forces multi-level
+    overflow, the Spark result still equals the scheme's contract exactly
+    (replicated independently in Python) — over-cap buckets re-block on
+    out-of-slot sub-keys down to the deepest schedule level instead of dropping
+    their pairs wholesale."""
     from collections import defaultdict
 
     from poc_parquet_aggregator_spark.operators import dedup as D
@@ -430,7 +431,12 @@ def test_simhash_two_level_blocking(spark, tmp_path, monkeypatch):
         expected = stars | {
             p
             for p in _simhash_scheme_pairs(
-                rep_ids, rep_sigs, D._SUB_SPANS, D._SUB2_SPANS, D._SLOT_BITS, cap
+                rep_ids,
+                rep_sigs,
+                D._CASCADE_SPANS[0],
+                tuple(D._CASCADE_SPANS[1:]),
+                D._SLOT_BITS,
+                cap,
             )
             if p in ground_rep
         }
@@ -444,3 +450,22 @@ def test_simhash_two_level_blocking(spark, tmp_path, monkeypatch):
             # no bucket overflows ⇒ pigeonhole completeness: every
             # Hamming≤3 representative pair + every star edge is found
             assert got == stars | ground_rep
+            # expand_simhash_pairs (r5 ADVICE contract helper): the
+            # collapsed frame expands to the FULL Hamming≤3 enumeration
+            # over ALL docs — intra-clique pairs at 0, cross-clique member
+            # pairs at their reps' distance
+            sig_of = {d: s for s, ds in groups.items() for d in ds}
+            all_ids = sorted(sig_of)
+            full = {
+                (a, b, bin(sig_of[a] ^ sig_of[b]).count("1"))
+                for i, a in enumerate(all_ids)
+                for b in all_ids[i + 1 :]
+                if bin(sig_of[a] ^ sig_of[b]).count("1") <= 3
+            }
+            expanded = {
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in D.expand_simhash_pairs(
+                    D.q_dedup_simhash(spark, corpus)
+                ).collect()
+            }
+            assert expanded == full
