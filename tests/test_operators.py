@@ -140,6 +140,157 @@ def _make_wav(channels: int, data: bytes) -> bytes:
     )
 
 
+def _make_png(w, h, ch, pixels, filters, split_idat=False):
+    """Independent pure-Python PNG builder (test-side reference — struct +
+    REAL zlib deflate, not the engine's stored-block SQL): applies the
+    requested per-scanline filter types FORWARD so the engine decoder must
+    reverse them to recover ``pixels``."""
+    import struct
+    import zlib
+
+    assert len(pixels) == h * w * ch
+    bpp, raw, prev = ch, bytearray(), bytes(w * ch)
+    for y in range(h):
+        line = pixels[y * w * ch : (y + 1) * w * ch]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * ch):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = (line[x] - a) % 256
+            elif f == 2:
+                v = (line[x] - b) % 256
+            elif f == 3:
+                v = (line[x] - (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (line[x] - pred) % 256
+            raw.append(v)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if ch == 1 else 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), 6)
+    cut = len(idat) // 2 if split_idat else len(idat)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat[:cut])
+    if split_idat:
+        out += chunk(b"IDAT", idat[cut:])
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decoder_all_filters_real_deflate(spark, tmp_path):
+    """The PNG path must decode REAL deflate streams (the engine builder
+    only emits stored blocks) with every filter type, grayscale and RGB,
+    and multi-fragment IDAT — built by the independent reference builder
+    above; body_sum must equal the reconstructed pixel sum exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.operators.multimodal import (
+        DECODED_META,
+        _decode_batches,
+    )
+
+    cases = [
+        # (w, h, ch, filters) — each filter list cycles over scanlines
+        (16, 6, 1, [0]),
+        (16, 6, 1, [1]),
+        (16, 6, 1, [2]),
+        (16, 6, 1, [3]),
+        (16, 6, 1, [4]),
+        (13, 7, 3, [0, 1, 2, 3, 4]),  # RGB, odd width, mixed filters
+        (5, 4, 3, [4, 3]),
+    ]
+    media, expect = [], []
+    for i, (w, h, ch, filters) in enumerate(cases):
+        pixels = bytes((i * 37 + j * 11) % 256 for j in range(h * w * ch))
+        media.append(_make_png(w, h, ch, pixels, filters, split_idat=(i % 2 == 0)))
+        expect.append((w, h, ch, sum(pixels)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(media)), type=pa.int64()),
+            "payload": pa.array(media, type=pa.binary()),
+        }
+    )
+    path = str(tmp_path / "pngs.parquet")
+    pq.write_table(tbl, path)
+    df = spark.read.parquet(path)
+    meta = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(_decode_batches, schema=DECODED_META).collect()
+    }
+    for i, (w, h, ch, psum) in enumerate(expect):
+        assert meta[i]["format"] == "png8"
+        assert meta[i]["n_bytes"] == len(media[i])
+        assert (meta[i]["width"], meta[i]["height"]) == (w, h)
+        assert meta[i]["n_channels"] == ch
+        assert meta[i]["body_sum"] == psum
+
+    # malformed PNGs must raise, never mis-parse
+    import pytest as _pytest
+
+    good = _make_png(16, 2, 1, bytes(range(32)), [0])
+    bad_crc = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]  # flip a CRC-protected chunk byte
+    bad_filter = _make_png(16, 2, 1, bytes(range(32)), [0])
+    # rebuild with an invalid filter byte 9 via the reference builder's
+    # internals: patch the raw stream inside a fresh zlib wrap
+    import struct
+    import zlib as _z
+
+    raw = bytearray(b"\x09" + bytes(16) + b"\x00" + bytes(16))
+    idat = _z.compress(bytes(raw))
+    def _chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", _z.crc32(typ + data)
+        )
+    bad_filter = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    depth16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 2, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(bytes(2 * (1 + 32))))
+        + _chunk(b"IEND", b"")
+    )
+    short_raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", _z.compress(bytes(5)))  # raw != h*(1+w)
+        + _chunk(b"IEND", b"")
+    )
+    for bad in (good[:-12], bad_crc, bad_filter, depth16, short_raw):
+        tbl_bad = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "payload": pa.array([bad], type=pa.binary()),
+            }
+        )
+        pbad = str(tmp_path / "badpng.parquet")
+        pq.write_table(tbl_bad, pbad)
+        with _pytest.raises(
+            Exception, match="PNG|payload|magic|truncated|implausible|filter"
+        ):
+            spark.read.parquet(pbad).mapInPandas(
+                _decode_batches, schema=DECODED_META
+            ).collect()
+
+
 def test_multimodal_kernels_on_real_binary_parquet_column(spark, tmp_path):
     """The multimodal kernels must work over a REAL parquet binary column
     (not just in-query synthesized bytes): write (doc_id, payload: binary)
