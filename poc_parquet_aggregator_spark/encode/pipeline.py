@@ -952,6 +952,16 @@ def read_decoded(
         exact per-row filter then needs only the lengths stream, not the
         token values. Encodes that predate the length zone map simply
         skip the chunk prune (exact filter still applies).
+
+    CONTRACT BOUND for ``doc_ids``: the list is a plain Python argument,
+    so it lives in driver memory and is folded into zone-map OR-predicates
+    — the contract is point lookups of a HUMAN-SIZED id set (thousands,
+    not millions). A distributed id set (e.g. the output of another
+    query) must NOT be collected into this argument; at scale, either
+    derive range/length bounds for it and use ``doc_id_range`` /
+    ``n_tok_range``, or semi-join the decoded frame against the id frame
+    (the manifest's per-file bounds still prune files for any range the
+    optimizer can see).
     """
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
     # manifest-level file pruning: each lineage record carries the file's

@@ -111,6 +111,42 @@ def test_dedup_skew_guards_bound_candidates(spark, tmp_path):
     assert 1000 in ex.values()
 
 
+def test_ann_ivf_scale_path(spark):
+    """The scale-tier IVF (GEMM assignment, nlist ≈ √n): every query gets
+    exactly k ranked neighbors from its probed buckets; the assignment
+    partitions the whole corpus (bucket sizes sum to n, every centroid id
+    in range); and at a generous nprobe the result converges to the exact
+    brute-force top-k (on a 500-vector corpus, probing 8 of 22 buckets
+    must recover the exact set's overlap measured by recall ≥ 0.8)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.similarity import (
+        ann_ivf_scale,
+        ann_scale_bucket_sizes,
+        q_ann_topk_bruteforce,
+    )
+
+    nlist = 22
+    rows = ann_ivf_scale(spark, SF_DIR, nlist=nlist, nprobe=8).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_topk_bruteforce(spark, SF_DIR).collect()
+        if r["rank"] <= 5
+    }
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(exact & ivf) / len(exact) >= 0.8
+    sizes = ann_scale_bucket_sizes(spark, SF_DIR, nlist).collect()
+    n_vec = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n"] for r in sizes) == n_vec
+    assert len(sizes) <= nlist
+
+
 def _make_bmp(w: int, h: int, px: bytes) -> bytes:
     """Independent struct-based 24bpp BMP builder (test-side reference
     implementation — not the engine's SQL builder)."""
