@@ -432,7 +432,6 @@ def run_ann_scale(cpus: int) -> dict:
     growth)."""
     import math
 
-    from poc_parquet_aggregator_spark.operators import similarity as S
     from poc_parquet_aggregator_spark.operators.similarity import (
         ann_ivf_scale,
         ann_scale_bucket_sizes,

@@ -164,11 +164,12 @@ _SPARK_WSUM = (
 )
 
 
-def _png_sql() -> str:
-    """Format-valid 8-bit grayscale PNG, built entirely in SQL: signature +
-    IHDR/IDAT/IEND chunks with REAL crc32() checksums, and a REAL zlib
-    stream — 0x78 0x01 header, one stored-deflate block (BFINAL=1,
-    BTYPE=00, LEN/NLEN), and a closed-form Adler-32.
+def _png_idat_hex() -> str:
+    """IDAT chunk body of a format-valid 8-bit grayscale PNG, built
+    entirely in SQL — a REAL zlib stream: 0x78 0x01 header, one
+    stored-deflate block (BFINAL=1, BTYPE=00, LEN/NLEN), and a
+    closed-form Adler-32. _png_payload_sql wraps it (plus the IHDR from
+    _png_ihdr_hex) in CRC-correct chunks.
 
     The filtered body is scanline 0 with filter 0 (None) carrying the
     digest bytes, then h−1 scanlines with filter 2 (Up) carrying zeros —
@@ -197,21 +198,31 @@ def _png_sql() -> str:
         f"repeat(concat('02', repeat('00', cast({w} as int))), "
         f"cast({h} - 1 as int)))"
     )
-    idat_hex = (
+    return (
         f"concat('780101', {_le_hex(n, 2)}, {_le_hex(f'65535 - {n}', 2)}, "
         f"{raw}, {_be_hex(f'({s2}) * 65536 + ({s1})', 4)})"
     )
-    ihdr_hex = f"concat({_be_hex(w, 4)}, {_be_hex(h, 4)}, '0800000000')"
+
+
+def _png_ihdr_hex() -> str:
+    return f"concat({_be_hex(_PNG_W, 4)}, {_be_hex(_PNG_H, 4)}, '0800000000')"
+
+
+def _png_payload_sql() -> str:
+    """Assemble the PNG from pre-projected ``_ihdr`` / ``_idat`` hex
+    columns (see media_payloads): each chunk body is then evaluated once
+    per row even though it appears twice below (payload + its crc32)."""
+    n = _PNG_N
     parts = [
         "'89504e470d0a1a0a'",  # signature
         "'0000000d'",  # IHDR length
         "'49484452'",  # 'IHDR'
-        ihdr_hex,
-        _be_hex(f"crc32(unhex(concat('49484452', {ihdr_hex})))", 4),
+        "_ihdr",
+        _be_hex("crc32(unhex(concat('49484452', _ihdr)))", 4),
         _be_hex(f"{n} + 11", 4),  # IDAT length (zlib hdr 2 + block hdr 5 + n + adler 4)
         "'49444154'",  # 'IDAT'
-        idat_hex,
-        _be_hex(f"crc32(unhex(concat('49444154', {idat_hex})))", 4),
+        "_idat",
+        _be_hex("crc32(unhex(concat('49444154', _idat)))", 4),
         "'0000000049454e44ae426082'",  # IEND (constant CRC)
     ]
     return f"unhex(concat({', '.join(parts)}))"
@@ -220,14 +231,38 @@ def _png_sql() -> str:
 def media_payloads(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, payload): real BMP / WAV / PNG files keyed by doc_id mod 3
     — the mixed-modality ingest column (PNG since round 6: the compressed
-    format slot is real code, not a docstring claim)."""
+    format slot is real code, not a docstring claim).
+
+    Build-cost shape (the round-2 CSE lesson applied to the builder): the
+    md5 digest and the PNG chunk bodies are projected to their OWN columns
+    first — CollapseProject keeps a Project whose outputs are multi-use
+    and non-cheap, so ``_h`` evaluates once per row and ``_idat`` once per
+    PNG row, even though the final expression references each 2-20 times
+    (body repeats, digest sums, payload + crc32). Inlined, the first
+    bench run measured the decode query at ~3.5× its r5 cost — almost all
+    of it the builder re-evaluating md5/IDAT per reference. The
+    WHEN-guarded ``_ihdr``/``_idat`` stay NULL (unevaluated) on BMP/WAV
+    rows."""
     d = spread(spark.read.parquet(f"{sf}/documents.parquet"))
+    d1 = d.select("doc_id", "n_chars", F.md5("text").alias("_h"))
+    png = "doc_id % 3 = 2"
+    d2 = d1.select(
+        "doc_id",
+        "n_chars",
+        "_h",
+        F.expr(f"CASE WHEN {png} THEN {_png_ihdr_hex()} END").alias("_ihdr"),
+        F.expr(
+            f"CASE WHEN {png} THEN {_png_idat_hex()} END".replace(
+                "md5(text)", "_h"
+            )
+        ).alias("_idat"),
+    )
     payload = F.expr(
         f"CASE WHEN doc_id % 3 = 0 THEN {_bmp_sql()} "
         f"WHEN doc_id % 3 = 1 THEN {_wav_sql()} "
-        f"ELSE {_png_sql()} END"
+        f"ELSE {_png_payload_sql()} END".replace("md5(text)", "_h")
     )
-    return d.select("doc_id", payload.alias("payload"))
+    return d2.select("doc_id", payload.alias("payload"))
 
 
 DECODED_META = T.StructType(

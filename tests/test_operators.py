@@ -111,6 +111,37 @@ def test_dedup_skew_guards_bound_candidates(spark, tmp_path):
     assert 1000 in ex.values()
 
 
+def test_simhash_cascade_schedule_invariants():
+    """Structural soundness of the cascade schedule (no Spark): at every
+    level the 4 spans are pairwise disjoint (the pigeonhole argument needs
+    a diff to break at most one group key) and read only bits that exist
+    on the narrowest remainder path; the schedule and the per-level column
+    names stay in lockstep."""
+    from poc_parquet_aggregator_spark.operators.dedup import (
+        _CASCADE_SPANS,
+        _LEVEL_COLS,
+        _SIM_SLOTS,
+        _SIMHASH_BITS,
+        _SLOT_BITS,
+    )
+
+    assert len(_CASCADE_SPANS) == len(_LEVEL_COLS)
+    assert _SIM_SLOTS * _SLOT_BITS == _SIMHASH_BITS
+    widths = {_SIMHASH_BITS - _SLOT_BITS}  # rest width after the slot key
+    for spans in _CASCADE_SPANS:
+        assert len(spans) == 4  # 4 groups pigeonhole ≤3 diffs
+        ss = sorted(spans)
+        for (o1, w1), (o2, w2) in zip(ss, ss[1:]):
+            assert o1 + w1 <= o2  # disjoint
+        # spans may leave high remainder bits uncovered (sound: keys read
+        # only covered bits) but must never be entirely out of range on
+        # the narrowest path
+        assert min(o for o, _ in spans) == 0
+        assert all(w >= 1 for _, w in spans)
+        widths = {wd - w for wd in widths for _, w in spans}
+        assert min(widths) >= 0
+
+
 def test_ann_ivf_scale_path(spark):
     """The scale-tier IVF (GEMM assignment, nlist ≈ √n): every query gets
     exactly k ranked neighbors from its probed buckets; the assignment
