@@ -1,0 +1,168 @@
+"""Connected components over near-duplicate pair graphs.
+
+The last step of a production dedup pipeline that the pair-emitting
+operators (MinHash/SimHash/embedding LSH in ``dedup.py``) leave open:
+near-dup PAIRS (doc_a, doc_b) must be closed into duplicate CLUSTERS so
+one canonical document per cluster survives.  Pair rows are a graph; the
+clusters are its connected components.
+
+At 100 TB the graph doesn't fit one machine, so this is the alternating
+large-star / small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+Vassilvitskii — "Connected Components in MapReduce and Beyond", SoCC'14):
+every round is two shuffle-on-node aggregations (groupBy min + join),
+converging in O(log^2 n) rounds to a star graph in which every node
+points at its component minimum.  No step ever materializes a component
+in one task; the only driver-side state is the O(log^2 n) loop counter.
+This is the published scale-out alternative to both driver-side
+union-find (single-machine memory) and naive min-label propagation
+(O(graph diameter) rounds — a path graph of k nodes needs k rounds where
+the star rounds need ~log^2 k).
+
+Reference parity note: the reference engine deduplicates rows only by
+keep-last within a frame (src/aggregator.py drop_duplicates calls); it
+has no graph clustering at all.  This operator exists for the
+training-data-pipeline tier of SURVEY.md §2, where cluster closure is a
+required post-pass of every LSH family.
+
+Iterative-DataFrame hygiene: each round ends in ``localCheckpoint`` —
+without it the lineage doubles per round and Catalyst re-analyzes an
+exponentially growing plan (the classic iterative-algorithm stall).  On
+a real cluster prefer ``spark.sparkContext.setCheckpointDir`` + HDFS
+checkpoints for fault tolerance; localCheckpoint trades lineage
+re-computability for speed, which is the right trade inside one job.
+
+Determinism: component representative = MIN node id — a pure function of
+the edge set, so results are stable across partitionings, core counts,
+and engines (the test suite cross-checks against a driver-side
+union-find oracle on the same pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects each strictly-larger
+    neighbor v to min(Γ(u) ∪ {u}).  Emitted as (v, m) edges."""
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    m = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        und.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small, then every node u
+    connects its (all smaller) neighbors and itself to min(Γ(u) ∪ {u})."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    withself = d.union(d.select("u", F.col("u").alias("v")).distinct())
+    return (
+        withself.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    ``component`` is the MIN node id of its connected component (component
+    representatives map to themselves; nodes appearing only in self-loops
+    are singletons).
+
+    ``max_iter`` bounds the O(log^2 n) alternating-star convergence: 30
+    rounds covers any physically storable graph (the bound is ~log^2 of
+    the LONGEST min-chain, and each round is verified converged by an
+    exact edge-set comparison, so the loop exits as early as the data
+    allows — 3-6 rounds on real dedup graphs).  Raises RuntimeError if
+    the bound is hit, rather than returning a silently-unfinished
+    clustering.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    if e.isEmpty():
+        return nodes.select("node", F.col("node").alias("component"))
+
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # exact convergence check: both frames are distinct edge sets, so
+        # equal counts + empty one-way difference ⇔ set equality
+        if e2.count() == e.count() and e2.subtract(e).isEmpty():
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} star rounds"
+        )
+
+    # e is now a star graph: (member, rep) for every non-rep member
+    mapped = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # reps + self-loop-only singletons: everything not on the member side
+    rest = nodes.join(mapped.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return mapped.union(rest)
+
+
+def dedup_cluster_reps(
+    spark: SparkSession, sf: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Close MinHash-LSH near-dup pairs into clusters and pick canonical
+    docs: (doc_id, rep_id, cluster_size), singletons included — i.e. the
+    frame a 100 TB pipeline semi-joins against ``documents`` to keep one
+    representative per duplicate cluster.
+
+    ``pairs`` defaults to ``q_dedup_minhash_lsh`` output; any frame with
+    (doc_a, doc_b) columns works (e.g. ``expand_simhash_pairs`` output or
+    a union of all three LSH families — components of the union give the
+    cross-detector transitive closure).
+    """
+    from .dedup import _docs, q_dedup_minhash_lsh
+
+    if pairs is None:
+        pairs = q_dedup_minhash_lsh(spark, sf)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    all_docs = _docs(spark, sf).select(F.col("doc_id").alias("node"))
+    full = (
+        all_docs.join(comp, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("component", "node").alias("rep_id"),
+        )
+    )
+    w = Window.partitionBy("rep_id")
+    return full.select(
+        "doc_id", "rep_id", F.count("*").over(w).alias("cluster_size")
+    )

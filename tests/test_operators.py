@@ -687,3 +687,129 @@ def test_simhash_cascaded_blocking(spark, tmp_path, monkeypatch):
                 ).collect()
             }
             assert expanded == full
+
+
+# ───────────────────── connected components (components.py) ──────────────────
+
+
+def _union_find(edges, nodes):
+    """Driver-side oracle: classic path-compressed union-find; component
+    label = min node id, same contract as connected_components."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize(
+    "shape,seed",
+    [("sparse", 1), ("sparse", 2), ("path", 0), ("clique", 0), ("mixed", 3)],
+)
+def test_connected_components_vs_union_find(spark, shape, seed):
+    """Alternating-star result == driver-side union-find on the same edge
+    list, across adversarial shapes: random sparse graphs, a 200-node path
+    (diameter 199 — the shape that breaks naive min-label propagation in
+    <= max_iter rounds but converges in O(log^2 n) star rounds), one dense
+    clique, and a mixed graph with self-loops and isolated-pair islands."""
+    import random
+
+    from poc_parquet_aggregator_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    if shape == "sparse":
+        n = 300
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(250)]
+    elif shape == "path":
+        edges = [(i, i + 1) for i in range(199)]
+    elif shape == "clique":
+        edges = [(i, j) for i in range(40) for j in range(i + 1, 40)]
+    else:  # mixed: islands + self-loops (self-loop-only nodes = singletons)
+        edges = [(i, i + 1) for i in range(0, 50, 2)]
+        edges += [(900 + i, 900 + i) for i in range(5)]
+        edges += [(rng.randrange(100), rng.randrange(100)) for _ in range(60)]
+    nodes = sorted({x for e in edges for x in e})
+    expect = _union_find([(a, b) for a, b in edges if a != b], nodes)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_empty_and_selfloops(spark):
+    from poc_parquet_aggregator_spark.operators.components import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(loops).collect()
+    }
+    assert got == {7: 7, 9: 9}
+
+
+def test_dedup_cluster_reps_closure(spark):
+    """Cluster closure of the MinHash pairs at sf0.001: every emitted pair
+    lands in one cluster, the representative is the cluster min, sizes are
+    consistent, and every document (dup or not) appears exactly once."""
+    import duckdb as _duck
+
+    from poc_parquet_aggregator_spark.operators.components import (
+        dedup_cluster_reps,
+    )
+    from poc_parquet_aggregator_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash_lsh(spark, SF_DIR).collect()
+    ]
+    rows = dedup_cluster_reps(spark, SF_DIR).collect()
+    rep = {r["doc_id"]: r["rep_id"] for r in rows}
+    size = {r["doc_id"]: r["cluster_size"] for r in rows}
+
+    n_docs = _duck.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == len(rep) == n_docs  # exactly-once, no dup rows
+    for a, b in pairs:  # closure: linked docs share a cluster
+        assert rep[a] == rep[b]
+    # rep = min member; size = member count; transitivity via union-find
+    nodes = sorted({x for p in pairs for x in p})
+    expect = _union_find(pairs, nodes)
+    members = {}
+    for d, r in rep.items():
+        members.setdefault(r, []).append(d)
+    for r, ms in members.items():
+        assert r == min(ms)
+        assert all(size[d] == len(ms) for d in ms)
+    for n in nodes:
+        assert rep[n] == expect[n]
+    # non-dup docs are singletons pointing at themselves
+    for d, r in rep.items():
+        if d not in expect:
+            assert r == d and size[d] == 1
