@@ -376,8 +376,53 @@ def run_dedup_scale(cpus: int) -> dict:
     for k, v in stats.items():
         out[k].update(v)
     out["simhash"].update(_simhash_true_recall(spark, corpus))
+    out["components"] = _components_closure(spark, corpus)
     stop_spark()
     return out
+
+
+def _components_closure(spark, corpus: str) -> dict:
+    """Cluster closure at the scale tier (round 6): alternating-star
+    connected components (operators/components.py) over the SIMHASH pair
+    frame — the largest of the three families (~2.1M edges at 100k docs,
+    with identical-signature cliques up to ~7k members), whose transitive
+    Hamming chains concatenate into one ~99k-node giant component on the
+    Zipf corpus. The wall times the star rounds ALONE (pairs
+    pre-materialized via localCheckpoint), which is the number a pipeline
+    adds on top of whichever LSH family it already ran. Detail-file only —
+    the compact stdout line must not grow (VERDICT r5 #7)."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators import QUERIES
+    from poc_parquet_aggregator_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = (
+        QUERIES["dedup_simhash"](spark, corpus)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_edges = pairs.count()
+    st: dict = {}
+    probe = memcpy_probe_gbs()
+    t0 = time.time()
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", stats_out=st
+    ).localCheckpoint()
+    n_nodes = comp.count()
+    wall = round(time.time() - t0, 1)
+    agg = comp.groupBy("component").count()
+    return {
+        "pair_family": "simhash",
+        "edges": n_edges,
+        "wall_s": wall,
+        "host_probe_gbs": probe,
+        **st,
+        "n_nodes": n_nodes,
+        "n_clusters": agg.count(),
+        "max_cluster": agg.agg(F.max("count")).first()[0],
+    }
 
 
 def _simhash_true_recall(spark, corpus: str) -> dict:
