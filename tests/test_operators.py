@@ -813,3 +813,77 @@ def test_dedup_cluster_reps_closure(spark):
     for d, r in rep.items():
         if d not in expect:
             assert r == d and size[d] == 1
+
+
+# ─────────────────── benchmark decontamination (decontam.py) ─────────────────
+
+
+def _py_shingle_sets(rows):
+    """Driver-side replica of the engine's shingle math: lowercase,
+    whitespace-normalize, word 3-grams (short docs keep their short gram),
+    distinct per doc, then the per-frame df<=256 cap."""
+    import re
+    from collections import Counter
+
+    sets = {}
+    for doc_id, text in rows:
+        w = re.sub(r"\s+", " ", text.lower()).split(" ")
+        grams = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 3, 0) + 1)}
+        sets[doc_id] = grams
+    df = Counter(g for s in sets.values() for g in s)
+    return {d: {g for g in s if df[g] <= 256} for d, s in sets.items()}
+
+
+def test_decontaminate_vs_exact_jaccard(spark):
+    """Bipartite MinHash decontamination on sf0.001 train docs vs a planted
+    bench set: exact copies, one-word mutations, and novel texts.  The
+    report must be a SUBSET of the exact cross-Jaccard >= 0.5 pairs (exact
+    verify => perfect precision), must contain every J >= 0.8 pair (LSH
+    detection prob ~1 there; exact-copy pairs share all 4 bands and can
+    never be missed), each reported jaccard must equal the driver-side
+    value, and decontaminate() must drop exactly the reported train ids."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+    )
+
+    train = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t_rows = [(r["doc_id"], r["text"]) for r in train.collect()]
+    bench_rows = []
+    for i, (d, t) in enumerate(t_rows[:10]):  # exact copies
+        bench_rows.append((10_000 + i, t))
+    for i, (d, t) in enumerate(t_rows[20:30]):  # light mutations
+        bench_rows.append((20_000 + i, t + " zzz unseen token"))
+    for i in range(5):  # novel texts — must never match
+        bench_rows.append((30_000 + i, f"totally novel benchmark text {i} " * 4))
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+
+    got = {
+        (r["train_id"], r["bench_id"]): r["jaccard"]
+        for r in contamination_report(train, bench).collect()
+    }
+
+    ts = _py_shingle_sets(t_rows)
+    bs = _py_shingle_sets(bench_rows)
+    exact = {}
+    for td, tset in ts.items():
+        for bd, bset in bs.items():
+            if tset or bset:
+                j = len(tset & bset) / len(tset | bset)
+                if j >= 0.5:
+                    exact[(td, bd)] = j
+
+    assert set(got) <= set(exact)  # perfect precision
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high <= set(got)  # exact copies + near-copies all caught
+    assert len(got) > 0
+    for p, j in got.items():
+        assert abs(j - exact[p]) < 1e-9  # verify stage computes TRUE jaccard
+    assert not any(b >= 30_000 for _, b in got)  # novel bench docs clean
+
+    clean = decontaminate(train, bench)
+    dropped = {t for t, _ in got}
+    assert clean.count() == train.count() - len(dropped)
+    assert clean.filter(F.col("doc_id").isin(list(dropped))).count() == 0
