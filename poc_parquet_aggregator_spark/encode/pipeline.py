@@ -173,14 +173,25 @@ def _encode_extra_array(arr: "pa.Array", zstd: bool, zstd_level: int) -> tuple[i
         payload = _child(post(lo_blob)) + _child(post(hi_blob))
         return _X_INT64, payload, f"{_ICN[lo_c]}+{_ICN[hi_c]}"
     if pa.types.is_float64(t) or pa.types.is_float32(t):
-        # self-describing container (flag byte): raw float bytes are
-        # arbitrary, so an unwrapped incompressible stream starting with the
-        # ZSTD codec id would misparse if fed through unwrap_zstd
-        raw = arr.cast(pa.float64()).to_numpy(zero_copy_only=False).tobytes()
+        # self-describing container (flag byte 0 raw / 1 zstd / 2 ALP):
+        # raw float bytes are arbitrary, so an unwrapped incompressible
+        # stream starting with the ZSTD codec id would misparse if fed
+        # through unwrap_zstd. ALP (codecs/floats.py) competes on exact
+        # encoded size like every other codec in the stack — decimal
+        # columns win big through the int planes, noise columns fall back.
+        from ..codecs.floats import encode_floats_alp
+
+        v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        raw = v.tobytes()
         z = wrap_zstd(raw, zstd_level if zstd else 1)
-        if z is raw or z == raw:  # incompressible: wrap_zstd returned input
-            return _X_FLOAT64, b"\x00" + raw, "f64_raw"
-        return _X_FLOAT64, b"\x01" + z, "f64_zstd"
+        cands = [(len(raw) + 1, b"\x00" + raw, "f64_raw")]
+        if not (z is raw or z == raw):  # incompressible: wrap returns input
+            cands.append((len(z) + 1, b"\x01" + z, "f64_zstd"))
+        alp = encode_floats_alp(v, zstd, zstd_level)
+        if alp is not None:
+            cands.append((len(alp[0]) + 1, b"\x02" + alp[0], alp[1]))
+        _, payload, name = min(cands, key=lambda c: c[0])
+        return _X_FLOAT64, payload, name
     raise ValueError(f"unsupported extra column type: {t}")
 
 
@@ -249,6 +260,10 @@ def _decode_extra(kind: int, payload: bytes, n: int):
         v = (hi.astype(np.int64) << 32) | (lo.view(np.uint32).astype(np.int64))
         return pa.array(v, type=pa.int64())
     if kind == _X_FLOAT64:
+        if payload[0] == 2:
+            from ..codecs.floats import decode_floats_alp
+
+            return pa.array(decode_floats_alp(payload[1:]), type=pa.float64())
         raw = payload[1:] if payload[0] == 0 else unwrap_zstd(payload[1:])
         return pa.array(np.frombuffer(raw, dtype=np.float64), type=pa.float64())
     raise ValueError(f"unknown extra kind {kind}")

@@ -196,3 +196,111 @@ def test_extras_container_property(ss, i32s, i64s, f64s):
                 assert np.array_equal(a, b, equal_nan=True)
             else:
                 assert list(out) == list(arr)
+
+
+# ----------------------------------------------------------- ALP float codec
+
+
+class TestAlpFloats:
+    """codecs/floats.py: ALP-style lossless doubles (scaled-int planes +
+    exception patching). Losslessness is bit-level by construction — the
+    encoder verifies the literal decode expression — so every assertion
+    here compares raw bit patterns, not values."""
+
+    @staticmethod
+    def _roundtrip(v):
+        from poc_parquet_aggregator_spark.codecs.floats import (
+            decode_floats_alp,
+            encode_floats_alp,
+        )
+
+        enc = encode_floats_alp(v, True, 3)
+        if enc is None:
+            return None, None
+        out = decode_floats_alp(enc[0])
+        assert out.view(np.int64).tolist() == v.view(np.int64).tolist()
+        return enc
+
+    def test_decimal_column_wins_and_is_bit_exact(self):
+        rng = np.random.default_rng(7)
+        v = np.round(rng.uniform(0, 1, 4096), 3)  # quality-score shape
+        blob, name = self._roundtrip(v)
+        assert name.startswith("f64_alp(e3,f0")
+        # 3-decimal values carry ~10 bits each; the bit-packed planes land
+        # near that floor (~10.1 bits/val here) where zstd over the raw
+        # bit patterns pays ~19.5 — ALP halves the compressed size
+        assert len(blob) < len(CI.wrap_zstd(v.tobytes(), 3)) * 0.6
+        assert len(blob) < len(v) * 11 / 8 + 64  # near the 10-bit floor
+
+    def test_round_multiples_pick_negative_scale(self):
+        v = (np.arange(512, dtype=np.float64) * 100.0) + 1e6
+        blob, name = self._roundtrip(v)
+        assert "f0" not in name.split(",")[1]  # f > 0: scale DOWN by 10^f
+        assert name.startswith("f64_alp(e0,f2")
+
+    def test_specials_ride_the_exception_list(self):
+        v = np.round(np.linspace(0, 10, 256), 2)
+        v[3] = np.nan
+        v[17] = np.inf
+        v[21] = -np.inf
+        v[40] = -0.0
+        v[77] = np.pi  # full-precision double: never decimal-exact
+        blob, name = self._roundtrip(v)
+        assert name.startswith("f64_alp")
+        from poc_parquet_aggregator_spark.codecs import floats as CF
+
+        # -0.0 MUST be an exception (scaled int 0 decodes to +0.0)
+        hit, _ = CF._roundtrip_mask(v, 2, 0)
+        assert not hit[40] and not hit[3] and not hit[77]
+
+    def test_noise_declines_or_loses(self):
+        rng = np.random.default_rng(11)
+        v = rng.uniform(0, 1, 2048)  # full 52-bit mantissas
+        from poc_parquet_aggregator_spark.codecs.floats import encode_floats_alp
+
+        enc = encode_floats_alp(v, True, 3)
+        assert enc is None  # 0 sample hits -> fast-path skip
+
+    def test_extra_container_selects_alp_only_when_smaller(self):
+        import pyarrow as pa
+
+        from poc_parquet_aggregator_spark.encode.pipeline import (
+            _X_FLOAT64,
+            _decode_extra,
+            _encode_extra_array,
+        )
+
+        rng = np.random.default_rng(3)
+        cases = {
+            "decimal": np.round(rng.uniform(-5, 5, 2000), 4),
+            "noise": rng.uniform(0, 1, 2000),
+            "constant": np.full(2000, 2.5),
+        }
+        for label, v in cases.items():
+            arr = pa.array(v, type=pa.float64())
+            kind, payload, codec = _encode_extra_array(arr, True, 3)
+            assert kind == _X_FLOAT64
+            out = _decode_extra(kind, payload, len(arr)).to_numpy(zero_copy_only=False)
+            assert out.view(np.int64).tolist() == v.view(np.int64).tolist(), label
+            if label == "noise":
+                # ALP declined (full mantissas); zstd may still shave the
+                # correlated exponent bytes
+                assert codec in ("f64_raw", "f64_zstd")
+            elif label == "constant":
+                # both collapse a constant to tens of bytes; zstd's frame
+                # is leaner than ALP's four-child container here
+                assert codec in ("f64_zstd",) or codec.startswith("f64_alp")
+            else:
+                assert codec.startswith("f64_alp"), label
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def test_alp_property_bit_roundtrip(self, fs):
+        v = np.array(fs, dtype=np.float64)
+        self._roundtrip(v)  # asserts bit-identity whenever ALP engages

@@ -488,10 +488,11 @@ def test_extra_float_container_incompressible():
         kind, payload, codec = _encode_extra_array(arr, True, lvl)
         out = _decode_extra(kind, payload, len(vals)).to_numpy(zero_copy_only=False)
         assert np.array_equal(out, vals, equal_nan=True), codec
-    # compressible doubles still take the zstd flag
+    # compressible doubles never take the raw flag (zstd or ALP, whichever
+    # is byte-smaller — all-zeros is decimal-exact so ALP competes too)
     smooth = pa.array(np.zeros(4096), type=pa.float64())
     kind, payload, codec = _encode_extra_array(smooth, True, 3)
-    assert codec == "f64_zstd"
+    assert codec != "f64_raw"
     out = _decode_extra(kind, payload, 4096).to_numpy(zero_copy_only=False)
     assert np.array_equal(out, np.zeros(4096))
 
