@@ -530,9 +530,14 @@ def run_ann_scale(cpus: int) -> dict:
     out["recall5"] = round(len(exact & ivf) / max(len(exact), 1), 4)
     # publish the nprobe curve (the tier's recall knob) the same way the
     # gate tier publishes its Lloyd-iteration curve — the configured
-    # point must be readable as a measured choice, not a cherry-pick
+    # point must be readable as a measured choice, not a cherry-pick.
+    # The configured point reuses the timed runs' result set instead of a
+    # third identical pass (review finding r6)
     curve = {}
     for np_ in (2, nprobe, 2 * nprobe):
+        if np_ == nprobe:
+            curve[f"nprobe_{np_}"] = out["recall5"]
+            continue
         found = {
             (r["query_id"], r["neighbor_id"])
             for r in ann_ivf_scale(

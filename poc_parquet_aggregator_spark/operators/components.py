@@ -41,7 +41,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -168,7 +167,10 @@ def dedup_cluster_reps(
             F.coalesce("component", "node").alias("rep_id"),
         )
     )
-    w = Window.partitionBy("rep_id")
-    return full.select(
-        "doc_id", "rep_id", F.count("*").over(w).alias("cluster_size")
-    )
+    # cluster_size via aggregate + join, NOT count(*) OVER (PARTITION BY
+    # rep_id): a window buffers each entire cluster's rows in one task,
+    # and dedup graphs have giant components (99% of nodes in one cluster
+    # at the 100k Zipf tier) — the aggregate partial-combines map-side and
+    # the skewed join key is AQE-splittable (review finding r6)
+    sizes = full.groupBy("rep_id").agg(F.count("*").alias("cluster_size"))
+    return full.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")

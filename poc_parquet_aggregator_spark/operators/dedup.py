@@ -281,6 +281,34 @@ def _minhash_banded(doc_sets: DataFrame) -> DataFrame:
     )
 
 
+def doc_shingle_sets(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh_set, n_sh) per-doc capped shingle sets — ONE doc_id
+    shuffle over the (already df-capped) exploded shingle frame.  The
+    shared set-frame contract of every MinHash consumer: the self-join
+    family below and the bipartite decontamination screen
+    (operators/decontam.py) build from this same helper, so the cap
+    semantics live in exactly one place."""
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+        .withColumn("n_sh", F.size("sh_set"))
+    )
+
+
+def drop_overcap_buckets(banded: DataFrame) -> DataFrame:
+    """Band rows minus degenerate buckets (> _MAX_BUCKET members on this
+    frame): a bucket-size aggregation + semi-style join back.  Bounds any
+    bucket join over the result — self-join pairs to cap², a cross-frame
+    join to cap·|other side's bucket| (decontam caps both sides)."""
+    ok = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_bucket"))
+        .filter(F.col("n_bucket") <= _MAX_BUCKET)
+        .select("band", "band_key")
+    )
+    return banded.join(ok, ["band", "band_key"])
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (min over md5(seed||shingle) — portable string-min
     MinHash), banded LSH bucketing, candidate pairs from same-band buckets,
@@ -302,23 +330,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         "doc_sets",
         spark,
         sf,
-        lambda: (
-            sh.groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh_set"))
-            .withColumn("n_sh", F.size("sh_set"))
-        ),
+        lambda: doc_shingle_sets(sh),
     )
-    banded = _minhash_banded(doc_sets)
     # bucket-size guard: degenerate buckets (many docs sharing one band key)
     # would blow up the self-join quadratically; drop them — their members
     # are still reachable through their other bands
-    ok = (
-        banded.groupBy("band", "band_key")
-        .agg(F.count("*").alias("n_bucket"))
-        .filter(F.col("n_bucket") <= _MAX_BUCKET)
-        .select("band", "band_key")
-    )
-    banded = banded.join(ok, ["band", "band_key"])
+    banded = drop_overcap_buckets(_minhash_banded(doc_sets))
     a = banded.alias("a")
     b2 = banded.alias("b")
     cand = (
@@ -1100,7 +1117,8 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
     SimHash reports its post-collapse CASCADED blocking (5 levels since
     round 6): the pairwise stage runs over DISTINCT signatures
     (identical-signature cliques already emitted as linear star edges), so
-    the stats cover the union of all four bucket families its query joins
+    the stats cover the union of one bucket family per cascade level
+    (len(_CASCADE_SPANS) + 1 with the final sized level) its query joins
     on — plus the collapse numbers (n_docs / n_distinct_sigs /
     max_exact_clique) that show WHY the pairwise stage stays small.
     """

@@ -309,14 +309,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def _fast_assign(e: DataFrame, cents, nprobe: int) -> DataFrame:
-    """(vec_id, centroid_id, rn ≤ nprobe) via per-batch GEMM; ties broken
-    by centroid_id ascending (stable argsort on the negated similarities,
-    matching the engine's ORDER BY csim DESC, centroid_id)."""
+    """(vec_id, centroid_id, rn ≤ min(nprobe, nlist)) via per-batch GEMM;
+    ties broken by centroid_id ascending (stable argsort on the negated
+    similarities, matching the engine's ORDER BY csim DESC, centroid_id).
+    nprobe is clamped to the centroid count — there are only nlist
+    centroids to probe (an unclamped slice built nprobe-sized index
+    columns against nlist-wide rows and crashed the kernel whenever
+    nlist < nprobe; review finding r6)."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(cents, dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    p = min(nprobe, len(C))
 
     def kern(batches):
         for pdf in batches:
@@ -325,13 +330,13 @@ def _fast_assign(e: DataFrame, cents, nprobe: int) -> DataFrame:
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             sims = Vn @ Cn.T
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
                     "centroid_id": top.reshape(-1).astype(np.int64),
-                    "rn": np.tile(np.arange(1, nprobe + 1), n),
+                    "rn": np.tile(np.arange(1, p + 1), n),
                 }
             )
 
@@ -347,28 +352,44 @@ def _fast_assign(e: DataFrame, cents, nprobe: int) -> DataFrame:
     return e.select("vec_id", "v").mapInPandas(kern, schema=schema)
 
 
-def ann_ivf_scale(
-    spark: SparkSession, sf: str, nlist: int, nprobe: int = 2, k: int = 5
-) -> DataFrame:
-    """Scale-tier IVF top-k (see the block comment above): GEMM
-    assignment, bucket join against broadcast multi-probed queries, exact
-    HOF cosine on the surviving candidates."""
-    from .dedup import ensure_workers_can_import
-
-    ensure_workers_can_import(spark)
-    e = _emb(spark, sf)
-    cents = [
+def _centroids(e: DataFrame, nlist: int) -> list:
+    """The scale tier's centroid contract in ONE place (recall numbers and
+    bucket-balance evidence must measure the same quantizer): first nlist
+    corpus vectors, untrained — the published ann_ivf_recall_curve shows
+    Lloyd iterations blur partitions on these near-orthogonal synthetics."""
+    return [
         r["v"]
         for r in e.filter(F.col("vec_id") < nlist)
         .select("vec_id", "v")
         .sort("vec_id")
         .collect()
     ]
-    assign = _fast_assign(e, cents, nprobe)
-    assigned = assign.filter(F.col("rn") == 1).drop("rn")
+
+
+def ann_ivf_scale(
+    spark: SparkSession, sf: str, nlist: int, nprobe: int = 2, k: int = 5
+) -> DataFrame:
+    """Scale-tier IVF top-k (see the block comment above): GEMM
+    assignment, bucket join against broadcast multi-probed queries, exact
+    HOF cosine on the surviving candidates.
+
+    The corpus and query sides run SEPARATE assignment kernels: filters do
+    not push through the opaque mapInPandas, so deriving the query probes
+    from the full-corpus assign frame re-ran the whole GEMM pass per
+    action (review finding r6).  The corpus side assigns at nprobe=1 (one
+    home bucket per vector); the query side assigns only the _N_QUERIES
+    pre-filtered rows at full nprobe — trivial work instead of a second
+    corpus-wide pass, no persist needed."""
+    from .dedup import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    e = _emb(spark, sf)
+    cents = _centroids(e, nlist)
+    assigned = _fast_assign(e, cents, 1).drop("rn")
     corpus_b = assigned.join(e, "vec_id")
     q_b = (
-        assign.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= nprobe))
+        _fast_assign(e.filter(F.col("vec_id") < _N_QUERIES), cents, nprobe)
+        .drop("rn")
         .join(e, "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
@@ -401,15 +422,8 @@ def ann_scale_bucket_sizes(spark: SparkSession, sf: str, nlist: int) -> DataFram
 
     ensure_workers_can_import(spark)
     e = _emb(spark, sf)
-    cents = [
-        r["v"]
-        for r in e.filter(F.col("vec_id") < nlist)
-        .select("vec_id", "v")
-        .sort("vec_id")
-        .collect()
-    ]
     return (
-        _fast_assign(e, cents, 1)
+        _fast_assign(e, _centroids(e, nlist), 1)
         .groupBy("centroid_id")
         .agg(F.count("*").alias("n"))
         .select("n")

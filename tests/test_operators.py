@@ -176,6 +176,12 @@ def test_ann_ivf_scale_path(spark):
     n_vec = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert sum(r["n"] for r in sizes) == n_vec
     assert len(sizes) <= nlist
+    # nlist < nprobe: the probe count clamps to the centroid count (the
+    # unclamped kernel crashed on mismatched column lengths); probing all
+    # 4 of 4 buckets IS brute force, so recall must be exact
+    rows4 = ann_ivf_scale(spark, SF_DIR, nlist=4, nprobe=8).collect()
+    ivf4 = {(r["query_id"], r["neighbor_id"]) for r in rows4}
+    assert exact <= ivf4
 
 
 def _make_bmp(w: int, h: int, px: bytes) -> bytes:
@@ -865,6 +871,11 @@ def test_decontaminate_vs_exact_jaccard(spark):
         for r in contamination_report(train, bench).collect()
     }
 
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower())
+
     ts = _py_shingle_sets(t_rows)
     bs = _py_shingle_sets(bench_rows)
     exact = {}
@@ -874,6 +885,15 @@ def test_decontaminate_vs_exact_jaccard(spark):
                 j = len(tset & bset) / len(tset | bset)
                 if j >= 0.5:
                     exact[(td, bd)] = j
+    # verbatim pairs are reported as jaccard 1.0 BY DEFINITION (the exact
+    # hash pre-pass — identical normalized text), overriding any capped-set
+    # artifact in the LSH verify arithmetic
+    t_norm = {d: norm(t) for d, t in t_rows}
+    b_norm = {d: norm(t) for d, t in bench_rows}
+    for td, tn in t_norm.items():
+        for bd, bn in b_norm.items():
+            if tn == bn:
+                exact[(td, bd)] = 1.0
 
     assert set(got) <= set(exact)  # perfect precision
     high = {p for p, j in exact.items() if j >= 0.8}
@@ -887,3 +907,41 @@ def test_decontaminate_vs_exact_jaccard(spark):
     dropped = {t for t, _ in got}
     assert clean.count() == train.count() - len(dropped)
     assert clean.filter(F.col("doc_id").isin(list(dropped))).count() == 0
+
+
+def test_decontaminate_mass_duplication_beyond_caps(spark):
+    """The recall-hole regression (review finding r6): a benchmark text
+    duplicated in MORE train docs than the df cap (256) loses every
+    shingle on the train side, so the LSH path alone would report the
+    most-contaminated corpus as clean.  The exact hash pre-pass must catch
+    every verbatim copy regardless — at jaccard 1.0 — and decontaminate()
+    must drop all of them while leaving unrelated docs alone."""
+    from pyspark.sql import functions as F
+
+    from poc_parquet_aggregator_spark.operators.decontam import (
+        contamination_report,
+        decontaminate,
+    )
+
+    leaked = "which planet has the most moons in the solar system answer saturn"
+    n_copies = 300  # > _MAX_SHINGLE_DF = 256: every shingle df-caps away
+    rows = [(i, leaked) for i in range(n_copies)]
+    rows += [
+        (1000 + i, f"unrelated document number {i} about topic {i % 7} " * 3)
+        for i in range(20)
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9000, leaked), (9001, "a benchmark question nothing in train has")],
+        "doc_id long, text string",
+    )
+
+    got = contamination_report(train, bench).collect()
+    hit_train = {r["train_id"] for r in got}
+    assert hit_train == set(range(n_copies))  # every copy caught
+    assert all(r["bench_id"] == 9000 for r in got)
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+    clean = decontaminate(train, bench)
+    assert clean.count() == 20
+    assert clean.filter(F.col("doc_id") < 1000).count() == 0
