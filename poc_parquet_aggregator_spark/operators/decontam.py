@@ -53,9 +53,14 @@ from .dedup import (
     drop_overcap_buckets,
 )
 
-# md5 of whitespace-normalized text — kept identical to q_dedup_exact's
-# content hash so exact-duplicate semantics agree across both operators
-_NORM_HASH = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+def _norm_hash():
+    """md5 of whitespace-normalized text — kept identical to
+    q_dedup_exact's content hash so exact-duplicate semantics agree
+    across both operators.  A function, not a module constant: classic-
+    mode Column construction with literal args needs an active
+    SparkContext, so a module-level expression would crash any import
+    that precedes session creation."""
+    return F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
 
 
 def _doc_sets(d: DataFrame) -> DataFrame:
@@ -131,8 +136,8 @@ def contamination_report(
     # bucket caps cannot drop a hash join, so the most-contaminated texts
     # (a bench doc duplicated in thousands of train docs) are guaranteed
     # caught even though their shingles df-cap away (review finding r6)
-    th = train.select(F.col("doc_id").alias("train_id"), _NORM_HASH.alias("h"))
-    bh = bench.select(F.col("doc_id").alias("bench_id"), _NORM_HASH.alias("h"))
+    th = train.select(F.col("doc_id").alias("train_id"), _norm_hash().alias("h"))
+    bh = bench.select(F.col("doc_id").alias("bench_id"), _norm_hash().alias("h"))
     exact = th.join(wrap(bh), "h").select(
         "train_id", "bench_id", F.lit(1.0).alias("jaccard")
     )

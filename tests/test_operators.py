@@ -909,6 +909,28 @@ def test_decontaminate_vs_exact_jaccard(spark):
     assert clean.filter(F.col("doc_id").isin(list(dropped))).count() == 0
 
 
+def test_operator_modules_import_without_session():
+    """Classic-mode Column construction with literal args needs an active
+    SparkContext, so a module-level expression crashes any import that
+    precedes session creation (found in decontam's _NORM_HASH, review
+    r6).  Import every operators module in a bare subprocess."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import poc_parquet_aggregator_spark.operators as O; "
+            "import poc_parquet_aggregator_spark.operators.decontam; "
+            "import poc_parquet_aggregator_spark.operators.components",
+        ],
+        capture_output=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+
 def test_decontaminate_mass_duplication_beyond_caps(spark):
     """The recall-hole regression (review finding r6): a benchmark text
     duplicated in MORE train docs than the df cap (256) loses every
