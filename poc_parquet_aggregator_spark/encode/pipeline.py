@@ -173,13 +173,15 @@ def _encode_extra_array(arr: "pa.Array", zstd: bool, zstd_level: int) -> tuple[i
         payload = _child(post(lo_blob)) + _child(post(hi_blob))
         return _X_INT64, payload, f"{_ICN[lo_c]}+{_ICN[hi_c]}"
     if pa.types.is_float64(t) or pa.types.is_float32(t):
-        # self-describing container (flag byte 0 raw / 1 zstd / 2 ALP):
-        # raw float bytes are arbitrary, so an unwrapped incompressible
-        # stream starting with the ZSTD codec id would misparse if fed
-        # through unwrap_zstd. ALP (codecs/floats.py) competes on exact
-        # encoded size like every other codec in the stack — decimal
-        # columns win big through the int planes, noise columns fall back.
-        from ..codecs.floats import encode_floats_alp
+        # self-describing container (flag byte 0 raw / 1 zstd / 2 ALP /
+        # 3 ALPrd): raw float bytes are arbitrary, so an unwrapped
+        # incompressible stream starting with the ZSTD codec id would
+        # misparse if fed through unwrap_zstd. Both ALP modes
+        # (codecs/floats.py) compete on exact encoded size like every
+        # other codec in the stack — decimal columns win big through the
+        # int planes, high-precision columns through the front-bit
+        # dictionary, and anything else falls back.
+        from ..codecs.floats import encode_floats_alp, encode_floats_alprd
 
         v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
         raw = v.tobytes()
@@ -190,6 +192,9 @@ def _encode_extra_array(arr: "pa.Array", zstd: bool, zstd_level: int) -> tuple[i
         alp = encode_floats_alp(v, zstd, zstd_level)
         if alp is not None:
             cands.append((len(alp[0]) + 1, b"\x02" + alp[0], alp[1]))
+        alprd = encode_floats_alprd(v, zstd, zstd_level)
+        if alprd is not None:
+            cands.append((len(alprd[0]) + 1, b"\x03" + alprd[0], alprd[1]))
         _, payload, name = min(cands, key=lambda c: c[0])
         return _X_FLOAT64, payload, name
     raise ValueError(f"unsupported extra column type: {t}")
@@ -264,6 +269,10 @@ def _decode_extra(kind: int, payload: bytes, n: int):
             from ..codecs.floats import decode_floats_alp
 
             return pa.array(decode_floats_alp(payload[1:]), type=pa.float64())
+        if payload[0] == 3:
+            from ..codecs.floats import decode_floats_alprd
+
+            return pa.array(decode_floats_alprd(payload[1:]), type=pa.float64())
         raw = payload[1:] if payload[0] == 0 else unwrap_zstd(payload[1:])
         return pa.array(np.frombuffer(raw, dtype=np.float64), type=pa.float64())
     raise ValueError(f"unknown extra kind {kind}")

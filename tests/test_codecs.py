@@ -283,9 +283,10 @@ class TestAlpFloats:
             out = _decode_extra(kind, payload, len(arr)).to_numpy(zero_copy_only=False)
             assert out.view(np.int64).tolist() == v.view(np.int64).tolist(), label
             if label == "noise":
-                # ALP declined (full mantissas); zstd may still shave the
-                # correlated exponent bytes
-                assert codec in ("f64_raw", "f64_zstd")
+                # decimal ALP declined (full mantissas) — the ALPrd
+                # front-bit dictionary takes the column instead (~54
+                # bits/val vs zstd's ~60 on uniform noise)
+                assert codec.startswith("f64_alprd")
             elif label == "constant":
                 # both collapse a constant to tens of bytes; zstd's frame
                 # is leaner than ALP's four-child container here
@@ -304,3 +305,71 @@ class TestAlpFloats:
     def test_alp_property_bit_roundtrip(self, fs):
         v = np.array(fs, dtype=np.float64)
         self._roundtrip(v)  # asserts bit-identity whenever ALP engages
+
+
+# ------------------------------------------------------ ALPrd (real doubles)
+
+
+class TestAlprdFloats:
+    """codecs/floats.py ALPrd mode: front-bit dictionary + bit-packed
+    remainder.  Pure bit surgery — losslessness holds for every bit
+    pattern (NaN payloads, ±inf, -0.0, subnormals) with no verify pass."""
+
+    @staticmethod
+    def _roundtrip(v):
+        from poc_parquet_aggregator_spark.codecs.floats import (
+            decode_floats_alprd,
+            encode_floats_alprd,
+        )
+
+        enc = encode_floats_alprd(v, True, 3)
+        assert enc is not None
+        out = decode_floats_alprd(enc[0])
+        assert out.view(np.int64).tolist() == v.view(np.int64).tolist()
+        return enc
+
+    def test_uniform_noise_beats_zstd(self):
+        rng = np.random.default_rng(5)
+        v = rng.uniform(0, 1, 8192)  # full mantissas: decimal ALP declines
+        blob, name = self._roundtrip(v)
+        assert name.startswith("f64_alprd")
+        # ~(3 + 52) bits/val + tiny exceptions, vs zstd's ~60 on the raw
+        # bit patterns — the dictionary removes the correlated front bits
+        assert len(blob) < len(CI.wrap_zstd(v.tobytes(), 3))
+        assert len(blob) < len(v) * 56 / 8 + 128
+
+    def test_concentrated_range_packs_harder(self):
+        rng = np.random.default_rng(9)
+        v = rng.normal(300.0, 2.0, 4096)  # one binade pair: near-constant left
+        blob, name = self._roundtrip(v)
+        assert name.startswith("f64_alprd(w16,x0")  # full 16-bit left, 0 misses
+        assert len(blob) < len(v) * 50 / 8 + 128
+
+    def test_specials_are_plain_bit_patterns(self):
+        v = np.array([np.nan, np.inf, -np.inf, -0.0, 0.0, 5e-324, np.pi])
+        self._roundtrip(v)  # bit-identity asserted inside
+
+    def test_dictionary_misses_ride_exceptions(self):
+        rng = np.random.default_rng(3)
+        v = rng.uniform(0, 1, 2000)
+        # 20 values in wildly different binades: cannot all share the
+        # 8-entry dictionary with the main mass
+        v[::100] = rng.uniform(1e-300, 1e-290, 20)
+        blob, name = self._roundtrip(v)
+        assert name.startswith("f64_alprd")
+        from poc_parquet_aggregator_spark.codecs import floats as CF
+
+        # the miss count is encoded in the codec name (x<k>) — nonzero here
+        xs = int(name.split(",x")[1].split(",")[0])
+        assert xs > 0
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def test_alprd_property_bit_roundtrip(self, fs):
+        self._roundtrip(np.array(fs, dtype=np.float64))
