@@ -189,7 +189,12 @@ def encode_floats_alprd(x: np.ndarray, zstd: bool, zstd_level: int) -> tuple[byt
     wl = best_wl
     wr = np.uint64(64 - wl)
     left = bits >> wr
-    vals, counts = np.unique(left, return_counts=True)
+    # dictionary from the SAME stride sample as the width scan — a
+    # full-column np.unique would put an O(n log n) sort on the encode hot
+    # path even when the argmin discards the blob; any left part the
+    # sample missed rides the exception list (computed over the full
+    # array), so this is a size tradeoff, never a correctness one
+    vals, counts = np.unique(s >> wr, return_counts=True)
     order = np.argsort(-counts, kind="stable")
     dict_vals = np.sort(vals[order[:_RD_MAX_DICT]])  # code = sorted rank
     code = np.searchsorted(dict_vals, left)

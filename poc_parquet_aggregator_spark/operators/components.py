@@ -166,6 +166,9 @@ def dedup_cluster_reps(
             F.col("node").alias("doc_id"),
             F.coalesce("component", "node").alias("rep_id"),
         )
+        # both branches below read this frame; without materialization the
+        # docs scan + closure-output join would execute twice per action
+        .localCheckpoint()
     )
     # cluster_size via aggregate + join, NOT count(*) OVER (PARTITION BY
     # rep_id): a window buffers each entire cluster's rows in one task,

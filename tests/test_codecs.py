@@ -357,8 +357,6 @@ class TestAlprdFloats:
         v[::100] = rng.uniform(1e-300, 1e-290, 20)
         blob, name = self._roundtrip(v)
         assert name.startswith("f64_alprd")
-        from poc_parquet_aggregator_spark.codecs import floats as CF
-
         # the miss count is encoded in the codec name (x<k>) — nonzero here
         xs = int(name.split(",x")[1].split(",")[0])
         assert xs > 0

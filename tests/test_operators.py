@@ -926,7 +926,7 @@ def test_operator_modules_import_without_session():
             "import poc_parquet_aggregator_spark.operators.components",
         ],
         capture_output=True,
-        cwd="/root/repo",
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
     )
     assert r.returncode == 0, r.stderr.decode()
 
