@@ -6,8 +6,14 @@ from .pipeline import (
     encode_dataset,
     read_decoded,
     read_manifest,
+    token_read_stats,
 )
 from .salted import encode_dataset_by_source
+from .tokfilter import (
+    build_token_filter,
+    merge_token_filters,
+    token_filter_contains,
+)
 
 __all__ = [
     "encode_token_chunk",
@@ -19,4 +25,8 @@ __all__ = [
     "read_manifest",
     "compact_manifest",
     "compact_encoded",
+    "token_read_stats",
+    "build_token_filter",
+    "merge_token_filters",
+    "token_filter_contains",
 ]

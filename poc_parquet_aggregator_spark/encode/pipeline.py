@@ -51,6 +51,12 @@ from ..codecs.strings import (
     encode_strings_arrow,
 )
 from .chunk import decode_chunk_lengths, decode_token_chunk, encode_token_chunk
+from .tokfilter import (
+    build_token_filter,
+    merge_token_filters,
+    token_filter_bounds,
+    token_filter_contains,
+)
 
 META_SCHEMA = T.StructType(
     [
@@ -67,6 +73,12 @@ META_SCHEMA = T.StructType(
         T.StructField("doc_id_max", T.StringType(), True),
         T.StructField("n_tok_min", T.LongType(), True),
         T.StructField("n_tok_max", T.LongType(), True),
+        # token VALUE bounds + membership filter (OR of the part's chunk
+        # filters) — the driver merges parts per stem and commits the file
+        # filter to the _tokfilters sidecar (see encode/tokfilter.py)
+        T.StructField("tok_min", T.LongType(), True),
+        T.StructField("tok_max", T.LongType(), True),
+        T.StructField("tok_filter", T.BinaryType(), True),
     ]
 )
 
@@ -85,8 +97,30 @@ _META_ARROW_SCHEMA = pa.schema(
         pa.field("doc_id_max", pa.string()),
         pa.field("n_tok_min", pa.int64()),
         pa.field("n_tok_max", pa.int64()),
+        pa.field("tok_min", pa.int64()),
+        pa.field("tok_max", pa.int64()),
+        pa.field("tok_filter", pa.large_binary()),
     ]
 )
+
+# parquet column statistics only where a reader predicates: the zone
+# columns (row-group pruning needs their min/max) and the small numeric
+# metadata. Stats on the BLOB columns are pure footer weight — truncated
+# min/max byte strings nobody compares — and at one chunk row per
+# row-group they cost more than the zones themselves on small buckets.
+_STATS_COLS = [
+    "chunk_crc",
+    "n_docs",
+    "n_tokens",
+    "bytes_in",
+    "bytes_out",
+    "doc_id_min",
+    "doc_id_max",
+    "n_tok_min",
+    "n_tok_max",
+    "tok_min",
+    "tok_max",
+]
 
 _ENC_ARROW_SCHEMA = pa.schema(
     [
@@ -108,6 +142,11 @@ _ENC_ARROW_SCHEMA = pa.schema(
         # source-filtered reads on the PER-FILE layout prune chunks via
         # arrays_overlap instead of decoding every source blob
         pa.field("src_set", pa.list_(pa.string())),
+        # token VALUE zone (row-group stats prune content reads JVM-side)
+        # + the chunk's membership filter (tested pre-decode; tokfilter.py)
+        pa.field("tok_min", pa.int64()),
+        pa.field("tok_max", pa.int64()),
+        pa.field("tok_filter", pa.large_binary()),
         pa.field("doc_id_blob", pa.large_binary()),
         pa.field("source_blob", pa.large_binary()),
         pa.field("tokens_blob", pa.large_binary()),
@@ -376,12 +415,26 @@ def _encode_chunk_row(
     import pyarrow.compute as pc
 
     mm = pc.min_max(did_arr).as_py() if len(did_arr) else {"min": "", "max": ""}
+    # token-membership filter + value zone (tokfilter.py): prunes
+    # token-content reads at the row-group (zones) and decode (bitmap)
+    # levels; deterministic, so resume reproduces it byte-identically.
+    # SIZE GUARD: a tiny chunk (small salted buckets, last slivers) would
+    # pay a disproportionate bitmap — keep the filter only while it costs
+    # ≲6% of the encoded token stream (zones are 16 bytes, always kept);
+    # a dropped filter is a NULL the read path treats conservatively.
+    tok_filter = build_token_filter(flat)
+    t_lo, t_hi = token_filter_bounds(tok_filter)
+    if len(tok_filter) > max(512, len(tokens_blob) // 16):
+        tok_filter = None
     row = {
         "chunk_crc": crc,
         "doc_id_min": mm["min"],
         "doc_id_max": mm["max"],
         "n_tok_min": int(lengths.min()) if len(lengths) else 0,
         "n_tok_max": int(lengths.max()) if len(lengths) else 0,
+        "tok_min": t_lo,
+        "tok_max": t_hi,
+        "tok_filter": tok_filter,
         "src_set": sorted(pc.unique(src_arr.cast(pa.string())).to_pylist()),
         "n_docs": len(lengths),
         "n_tokens": len(flat),
@@ -439,7 +492,8 @@ def _make_encode_fn(
             # blobs are already codec/zstd-compressed → plain pages, no dict
             part_path = os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet")
             pq.write_table(
-                tbl, part_path, compression="none", use_dictionary=False
+                tbl, part_path, compression="none", use_dictionary=False,
+                write_statistics=_STATS_COLS,
             )
             codecs: dict[str, int] = {}
             for r in rows:
@@ -463,6 +517,24 @@ def _make_encode_fn(
                     "doc_id_max": max((r["doc_id_max"] for r in rows), default=None),
                     "n_tok_min": min((r["n_tok_min"] for r in rows), default=None),
                     "n_tok_max": max((r["n_tok_max"] for r in rows), default=None),
+                    # non-empty token zones only (hi < lo marks an empty
+                    # chunk, which must not poison the part bounds)
+                    "tok_min": min(
+                        (r["tok_min"] for r in rows if r["tok_max"] >= r["tok_min"]),
+                        default=None,
+                    ),
+                    "tok_max": max(
+                        (r["tok_max"] for r in rows if r["tok_max"] >= r["tok_min"]),
+                        default=None,
+                    ),
+                    # a part-level filter is only sound if EVERY chunk
+                    # contributed one — a missing chunk in the OR would be
+                    # a false negative (silently dropped rows downstream)
+                    "tok_filter": (
+                        merge_token_filters([r["tok_filter"] for r in rows])
+                        if all(r["tok_filter"] is not None for r in rows)
+                        else None
+                    ),
                 }
             )
         if out_rows:
@@ -540,12 +612,14 @@ def _emit_record_batches(
 def _make_decode_fn(
     extras: list[tuple[str, str]] | None = None,
     columns: list[str] | None = None,
+    contains_token: int | None = None,
 ):
     """Decode kernel; ``extras`` = [(name, spark_type_name)] appended after
     the core columns (must match what the encode job recorded in layout).
     ``columns`` projects the decode itself: blobs of unselected columns are
     never parsed (n_tok without tokens reads only the lengths stream —
-    decode_chunk_lengths)."""
+    decode_chunk_lengths). ``contains_token`` skips chunks whose membership
+    bitmap proves the id absent BEFORE any blob is parsed (tokfilter.py)."""
     extras = extras or []
     all_cols = _decode_cols(extras)
     sel = [c for c, _ in all_cols] if columns is None else list(columns)
@@ -557,11 +631,29 @@ def _make_decode_fn(
         for batch in batches:
             d = batch.to_pylist()  # a few chunk rows per batch — not hot
             for row in d:
+                if contains_token is not None:
+                    filt = row.get("tok_filter")
+                    # NULL filter (pre-upgrade chunk) → decode conservatively
+                    if filt is not None and not token_filter_contains(
+                        bytes(filt), int(contains_token)
+                    ):
+                        continue
                 out: dict[str, pa.Array] = {}
                 if "tokens" in want:
                     flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
                     offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
                     np.cumsum(lengths, out=offsets[1:])
+                    if contains_token is not None:
+                        # per-doc membership via one cumsum (empty-doc-safe,
+                        # unlike reduceat at repeated offsets): if NO doc in
+                        # the chunk holds the id, skip the string decodes
+                        # and emit nothing — for a rare-token read most
+                        # bitmap-surviving chunks end here
+                        cs = np.zeros(len(flat) + 1, dtype=np.int64)
+                        np.cumsum(flat == np.int32(contains_token), out=cs[1:])
+                        doc_hit = cs[offsets[1:]] > cs[offsets[:-1]]
+                        if not doc_hit.any():
+                            continue
                     out["tokens"] = pa.ListArray.from_arrays(  # zero-copy
                         pa.array(offsets, type=pa.int32()),
                         pa.array(flat, type=pa.int32()),
@@ -708,6 +800,7 @@ def compact_encoded(out_dir: str, max_parts: int = 1) -> dict:
             os.path.join(staged, f"part-{uuid.uuid4().hex}.parquet"),
             compression="none",
             use_dictionary=False,
+            write_statistics=[c for c in _STATS_COLS if c in tbl.schema.names],
         )
         old = os.path.join(data_dir, f".compact-old-{stem}")
         os.rename(stem_dir, old)
@@ -769,6 +862,31 @@ def read_layout(out_dir: str) -> str | None:
 
 def read_extras(out_dir: str) -> list[tuple[str, str]]:
     return [tuple(e) for e in _read_layout_record(out_dir).get("extras", [])]
+
+
+def _tokfilter_path(out_dir: str, stem: str) -> str:
+    return os.path.join(out_dir, "_tokfilters", f"{stem}.bin")
+
+
+def write_token_sidecar(out_dir: str, stem: str, blob: bytes) -> None:
+    """File-level token-membership filter, kept OUT of the manifest JSON
+    (listing cost) in a puffin-style sidecar. Written BEFORE the manifest
+    rename: a committed record implies its sidecar is in place, and a
+    crash in between re-encodes the file (idempotent, like the data dir)."""
+    d = os.path.join(out_dir, "_tokfilters")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{stem}.bin.tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.rename(tmp, _tokfilter_path(out_dir, stem))
+
+
+def read_token_sidecar(out_dir: str, stem: str) -> bytes | None:
+    p = _tokfilter_path(out_dir, stem)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return f.read()
 
 
 def _commit_file(out_dir: str, staging_dir: str, stem: str, record: dict) -> None:
@@ -918,9 +1036,28 @@ def encode_dataset(
                     (r["n_tok_max"] for r in rows if r["n_tok_max"] is not None),
                     default=None,
                 ),
+                # token VALUE bounds — file-level zone for content reads;
+                # the membership bitmap itself goes to the sidecar below
+                "tok_min": min(
+                    (r["tok_min"] for r in rows if r["tok_min"] is not None),
+                    default=None,
+                ),
+                "tok_max": max(
+                    (r["tok_max"] for r in rows if r["tok_max"] is not None),
+                    default=None,
+                ),
                 "snapshot": _snapshot(path_of[stem]),
                 "committed_at": time.time(),
             }
+            # sidecar only when EVERY part carried a filter (see the
+            # part-merge note: a partial OR would yield false negatives)
+            if rows and all(r["tok_filter"] is not None for r in rows):
+                write_token_sidecar(
+                    out_dir,
+                    stem,
+                    merge_token_filters([bytes(r["tok_filter"]) for r in rows]),
+                )
+                rec["tok_filter"] = True
             _commit_file(out_dir, staging_dir, stem, rec)
         shutil.rmtree(staging_dir, ignore_errors=True)
 
@@ -952,6 +1089,7 @@ def read_decoded(
     doc_id_range: tuple[str, str] | None = None,
     doc_ids: list[str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
+    contains_token: int | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Read the encoded table back as (doc_id, tokens, n_tok, source).
@@ -976,6 +1114,17 @@ def read_decoded(
         exact per-row filter then needs only the lengths stream, not the
         token values. Encodes that predate the length zone map simply
         skip the chunk prune (exact filter still applies).
+      * ``contains_token``: docs whose token array CONTAINS the id — the
+        contamination-audit / special-token read. Prunes three times
+        before any token blob is parsed: manifest file zones + the
+        ``_tokfilters`` sidecar bitmaps (driver-side, no footer opened),
+        chunk ``tok_min``/``tok_max`` zones (parquet row-group stats,
+        JVM-side), and the per-chunk membership bitmap (tested in the
+        decode kernel before the blob is decoded). The exact per-doc
+        filter is a JVM ``array_contains`` after decode. Encodes that
+        predate the filter columns are conservatively kept at every
+        level. See encode/tokfilter.py for filter semantics (exact
+        bitmap for vocab-sized spans, no-false-negative bloom beyond).
 
     CONTRACT BOUND for ``doc_ids``: the list is a plain Python argument,
     so it lives in driver memory and is folded into zone-map OR-predicates
@@ -1022,6 +1171,26 @@ def read_decoded(
             or (rec["n_tok_max"] >= n_tok_range[0] and rec["n_tok_min"] <= n_tok_range[1])
         ]
         enc = enc.filter(F.col("file_stem").isin(keep_t))
+    if contains_token is not None:
+        # manifest-level token-content pruning: file zone bounds first,
+        # then the sidecar membership bitmap — a pruned file never opens a
+        # parquet footer. Pre-filter encodes (no bounds / no sidecar) are
+        # conservatively kept. Driver cost is one small sidecar read per
+        # zone-surviving stem; at cluster scale this loop is the natural
+        # candidate for a filter-manifest join instead (same contract note
+        # as doc_ids above).
+        tid = int(contains_token)
+        keep_c = []
+        for stem, rec in read_manifest(out_dir).items():
+            t_lo, t_hi = rec.get("tok_min"), rec.get("tok_max")
+            if t_lo is not None and t_hi is not None and not (t_lo <= tid <= t_hi):
+                continue
+            if rec.get("tok_filter"):
+                sidecar = read_token_sidecar(out_dir, stem)
+                if sidecar is not None and not token_filter_contains(sidecar, tid):
+                    continue
+            keep_c.append(stem)
+        enc = enc.filter(F.col("file_stem").isin(keep_c))
     if sources and read_layout(out_dir) == "by-source":
         cond = None
         for s in sources:
@@ -1058,6 +1227,16 @@ def read_decoded(
                 & (F.col("n_tok_min") <= n_tok_range[1])
             )
         )
+    if contains_token is not None and "tok_max" in enc.columns:
+        # chunk-level token VALUE zone: row-group stats evaluate this at
+        # the scan, so out-of-range chunks never read their blob bytes
+        enc = enc.filter(
+            F.col("tok_max").isNull()
+            | (
+                (F.col("tok_min") <= int(contains_token))
+                & (F.col("tok_max") >= int(contains_token))
+            )
+        )
     if doc_ids:
         # point lookups: a chunk survives only if SOME requested id falls in
         # its zone map — an OR of per-id between-predicates that parquet
@@ -1090,6 +1269,8 @@ def read_decoded(
         need.add("doc_id")
     if n_tok_range:
         need.add("n_tok")
+    if contains_token is not None:
+        need.add("tokens")  # the exact per-doc filter reads the values
     dec_cols = [c for c in all_names if c in need]
     # prune the PARQUET SCAN to only the blobs the projection decodes —
     # unselected blob columns are never read off disk, let alone parsed
@@ -1102,9 +1283,13 @@ def read_decoded(
         blob_need.append("source_blob")
     if any(n in need for n, _t in extras):
         blob_need.append("extras_blob")
+    if contains_token is not None and "tok_filter" in enc.columns:
+        # ship the (KB-sized) chunk bitmap so the decode kernel can skip
+        # whole chunks before parsing their (MB-sized) token blobs
+        blob_need.append("tok_filter")
     enc = enc.select(*blob_need)
     dec = enc.mapInArrow(
-        _make_decode_fn(extras, columns=dec_cols),
+        _make_decode_fn(extras, columns=dec_cols, contains_token=contains_token),
         schema=_decoded_schema(extras, columns=dec_cols),
     )
     if sources:
@@ -1119,9 +1304,37 @@ def read_decoded(
         dec = dec.filter(
             (F.col("n_tok") >= n_tok_range[0]) & (F.col("n_tok") <= n_tok_range[1])
         )
+    if contains_token is not None:
+        dec = dec.filter(F.array_contains(F.col("tokens"), F.lit(int(contains_token))))
     if sel != dec_cols:
         dec = dec.select(*sel)
     return dec
+
+
+def token_read_stats(out_dir: str, token: int) -> dict:
+    """Driver-side pruning report for a ``contains_token`` read — mirrors
+    read_decoded's manifest logic so tests and benchmarks can assert HOW
+    MUCH a content read skips, not just that its rows are right."""
+    tid = int(token)
+    stats = {
+        "files_total": 0,
+        "files_zone_pruned": 0,
+        "files_filter_pruned": 0,
+        "files_kept": 0,
+    }
+    for stem, rec in read_manifest(out_dir).items():
+        stats["files_total"] += 1
+        t_lo, t_hi = rec.get("tok_min"), rec.get("tok_max")
+        if t_lo is not None and t_hi is not None and not (t_lo <= tid <= t_hi):
+            stats["files_zone_pruned"] += 1
+            continue
+        if rec.get("tok_filter"):
+            sidecar = read_token_sidecar(out_dir, stem)
+            if sidecar is not None and not token_filter_contains(sidecar, tid):
+                stats["files_filter_pruned"] += 1
+                continue
+        stats["files_kept"] += 1
+    return stats
 
 
 def decode_verify(

@@ -37,7 +37,9 @@ from .pipeline import (
     _make_encode_fn,
     read_manifest,
     write_layout,
+    write_token_sidecar,
 )
+from .tokfilter import merge_token_filters
 
 
 def _input_snapshot(files: list[str]) -> dict:
@@ -161,9 +163,37 @@ def encode_dataset_by_source(
                 "doc_id_max": max(
                     (r["doc_id_max"] for r in rows if r["doc_id_max"]), default=None
                 ),
+                # same file-level zones as the per-file layout: length
+                # bounds (length-bucketed reads) and token value bounds
+                # (content reads) prune salted partitions from the manifest
+                "n_tok_min": min(
+                    (r["n_tok_min"] for r in rows if r["n_tok_min"] is not None),
+                    default=None,
+                ),
+                "n_tok_max": max(
+                    (r["n_tok_max"] for r in rows if r["n_tok_max"] is not None),
+                    default=None,
+                ),
+                "tok_min": min(
+                    (r["tok_min"] for r in rows if r["tok_min"] is not None),
+                    default=None,
+                ),
+                "tok_max": max(
+                    (r["tok_max"] for r in rows if r["tok_max"] is not None),
+                    default=None,
+                ),
                 "snapshot": snapshot,
                 "committed_at": time.time(),
             }
+            # sidecar only when EVERY part carried a filter — a partial OR
+            # would be a false negative (same rule as the per-file layout)
+            if rows and all(r["tok_filter"] is not None for r in rows):
+                write_token_sidecar(
+                    out_dir,
+                    stem,
+                    merge_token_filters([bytes(r["tok_filter"]) for r in rows]),
+                )
+                rec["tok_filter"] = True
             _commit_file(out_dir, staging_dir, stem, rec)
         shutil.rmtree(staging_dir, ignore_errors=True)
         # job summary: the complete bucket universe for this snapshot

@@ -89,6 +89,12 @@ def _remap_mapping() -> "np.ndarray":
 _SRC_FILTER = ["src0", "src19", "src7"]
 _POINT_MOD = 29  # point-lookup branch: every 29th doc id
 _LEN_RANGE = (20, 40)  # length-bucket branch: docs with 20-40 tokens
+# token-membership branch: docs CONTAINING this id (= md5('scan')[:4] —
+# 'scan' is in the documents generator's vocabulary, so the branch is
+# non-trivial; any id would stay oracle-consistent). Exercises the
+# _tokfilters sidecar + chunk tok zones + bitmap decode-skip
+# (encode/tokfilter.py) under the cross-engine check.
+_MEMBER_TOKEN = 21422
 
 # Two locks per scratch base (the single-lock design would deadlock: a
 # long-lived session holding its liveness mark SHARED forever would block
@@ -272,6 +278,13 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
     lengths_salted = rollup(
         read_decoded(spark, out_src, n_tok_range=_LEN_RANGE), "salted-lengths"
     )
+    # token-CONTENT read (contamination-audit pattern): manifest sidecar
+    # bitmaps, chunk token zones, and the decode-kernel bitmap skip all sit
+    # on the checked path; the oracle re-derives membership from the raw
+    # text with list_contains
+    members = rollup(
+        read_decoded(spark, out_file, contains_token=_MEMBER_TOKEN), "token-members"
+    )
     return (
         per_file.unionByName(by_source)
         .unionByName(streamed)
@@ -279,6 +292,7 @@ def q_encoded_roundtrip_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(lengths)
         .unionByName(points_salted)
         .unionByName(lengths_salted)
+        .unionByName(members)
     )
 
 
@@ -308,6 +322,7 @@ ORACLE_ENCODED_ROLLUP = f"""
 WITH toks AS ({_D_TOKS}),
 sigs AS (
   SELECT doc_id_raw, source, len(tokens) AS n_tok,
+         list_contains(tokens, {_MEMBER_TOKEN}) AS has_member_tok,
          {_d_sig('tokens')} AS orig_sig,
          {_d_sig(f'list_transform(tokens, x -> CASE WHEN x < {_KEEP} THEN x + 1 ELSE 0 END)')}
            AS remap_sig
@@ -324,7 +339,11 @@ points AS (
 lengths AS (
   SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
          {_D_SIG_SUMS}
-  FROM sigs WHERE n_tok BETWEEN {_LEN_RANGE[0]} AND {_LEN_RANGE[1]} GROUP BY source)
+  FROM sigs WHERE n_tok BETWEEN {_LEN_RANGE[0]} AND {_LEN_RANGE[1]} GROUP BY source),
+members AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+         {_D_SIG_SUMS}
+  FROM sigs WHERE has_member_tok GROUP BY source)
 SELECT 'per-file' AS layout, * FROM rolled
 UNION ALL
 SELECT 'by-source', * FROM rolled WHERE source IN ({_SRC_IN})
@@ -338,6 +357,8 @@ UNION ALL
 SELECT 'salted-points', * FROM points WHERE source IN ({_SRC_IN})
 UNION ALL
 SELECT 'salted-lengths', * FROM lengths
+UNION ALL
+SELECT 'token-members', * FROM members
 """
 
 
