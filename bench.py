@@ -623,6 +623,35 @@ def run_encode(cores: int, zstd_level: int, verify: bool = False) -> dict:
             "source"
         ).agg(F.sum("n_tok")).collect()
         res["pruned_agg_s"] = round(time.time() - t0, 3)
+        # token-CONTENT reads (contamination-audit pattern, tokfilter.py):
+        #   * absent canary → every file zone/sidecar-pruned driver-side;
+        #   * rare zipf-tail id → per-chunk bitmap + kernel doc-hit skip
+        #     vs the naive full-decode + array_contains baseline.
+        # Zipf-over-full-vocab is the filter's WORST case (big chunks
+        # saturate the bitmap, so file pruning only fires for absent ids);
+        # published as measured, not assumed.
+        from poc_parquet_aggregator_spark.encode import token_read_stats
+
+        absent_id, rare_id = 60_000, 50_233  # outside vocab / zipf tail
+        t0 = time.time()
+        read_decoded(spark, out_dir, contains_token=absent_id).count()
+        absent_s = time.time() - t0
+        t0 = time.time()
+        n_rare = read_decoded(spark, out_dir, contains_token=rare_id).count()
+        rare_s = time.time() - t0
+        t0 = time.time()
+        read_decoded(spark, out_dir).filter(
+            F.array_contains(F.col("tokens"), F.lit(rare_id))
+        ).count()
+        naive_s = time.time() - t0
+        res["token_content"] = {
+            "absent_id_s": round(absent_s, 3),
+            "absent_stats": token_read_stats(out_dir, absent_id),
+            "rare_id_s": round(rare_s, 3),
+            "rare_rows": n_rare,
+            "rare_stats": token_read_stats(out_dir, rare_id),
+            "naive_full_decode_s": round(naive_s, 3),
+        }
     stop_spark()
     shutil.rmtree(out_dir, ignore_errors=True)
     return res
@@ -677,6 +706,9 @@ def main() -> None:
         "ann_ivf_recall_curve": recall_curve,
         "dedup_scale": dedup_scale,
         "ann_scale": ann_scale,
+        # contamination-audit read pattern over the encoded 400k-doc table
+        # (detail-file only — the compact line stays within budget)
+        "token_content_reads": ver.get("token_content"),
         "encode": {
             "scaling_N_cores1": enc_n,
             "scaling_4N_cores4": enc_4n,

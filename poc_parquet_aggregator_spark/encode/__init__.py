@@ -4,6 +4,7 @@ from .pipeline import (
     compact_manifest,
     decode_verify,
     encode_dataset,
+    manifest_df,
     read_decoded,
     read_manifest,
     token_read_stats,
@@ -21,6 +22,7 @@ __all__ = [
     "encode_dataset",
     "encode_dataset_by_source",
     "decode_verify",
+    "manifest_df",
     "read_decoded",
     "read_manifest",
     "compact_manifest",

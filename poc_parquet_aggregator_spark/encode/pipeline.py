@@ -609,33 +609,47 @@ def _emit_record_batches(
         s += ln
 
 
+def _token_id_list(contains_token) -> list[int]:
+    """Normalize the ``contains_token`` argument (single id or an ANY-match
+    id set) to a sorted de-duplicated int list."""
+    if isinstance(contains_token, (list, tuple, set, frozenset)):
+        ids = sorted({int(t) for t in contains_token})
+        if not ids:
+            raise ValueError("contains_token list must be non-empty")
+        return ids
+    return [int(contains_token)]
+
+
 def _make_decode_fn(
     extras: list[tuple[str, str]] | None = None,
     columns: list[str] | None = None,
-    contains_token: int | None = None,
+    contains_token: int | list[int] | None = None,
 ):
     """Decode kernel; ``extras`` = [(name, spark_type_name)] appended after
     the core columns (must match what the encode job recorded in layout).
     ``columns`` projects the decode itself: blobs of unselected columns are
     never parsed (n_tok without tokens reads only the lengths stream —
-    decode_chunk_lengths). ``contains_token`` skips chunks whose membership
-    bitmap proves the id absent BEFORE any blob is parsed (tokfilter.py)."""
+    decode_chunk_lengths). ``contains_token`` (id or ANY-match id list)
+    skips chunks whose membership bitmap proves every id absent BEFORE any
+    blob is parsed (tokfilter.py)."""
     extras = extras or []
     all_cols = _decode_cols(extras)
     sel = [c for c, _ in all_cols] if columns is None else list(columns)
     schema = pa.schema([pa.field(n, t) for n, t in all_cols if n in sel])
     want = set(sel)
     want_extras = [(n, t) for n, t in extras if n in want]
+    tok_ids = None if contains_token is None else _token_id_list(contains_token)
+    tok_ids_arr = None if tok_ids is None else np.asarray(tok_ids, dtype=np.int32)
 
     def decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             d = batch.to_pylist()  # a few chunk rows per batch — not hot
             for row in d:
-                if contains_token is not None:
+                if tok_ids is not None:
                     filt = row.get("tok_filter")
                     # NULL filter (pre-upgrade chunk) → decode conservatively
-                    if filt is not None and not token_filter_contains(
-                        bytes(filt), int(contains_token)
+                    if filt is not None and not any(
+                        token_filter_contains(bytes(filt), t) for t in tok_ids
                     ):
                         continue
                 out: dict[str, pa.Array] = {}
@@ -643,14 +657,19 @@ def _make_decode_fn(
                     flat, lengths = decode_token_chunk(bytes(row["tokens_blob"]))
                     offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
                     np.cumsum(lengths, out=offsets[1:])
-                    if contains_token is not None:
+                    if tok_ids is not None:
                         # per-doc membership via one cumsum (empty-doc-safe,
                         # unlike reduceat at repeated offsets): if NO doc in
-                        # the chunk holds the id, skip the string decodes
-                        # and emit nothing — for a rare-token read most
-                        # bitmap-surviving chunks end here
+                        # the chunk holds any wanted id, skip the string
+                        # decodes and emit nothing — for a rare-token read
+                        # most bitmap-surviving chunks end here
+                        hit = (
+                            flat == tok_ids_arr[0]
+                            if len(tok_ids) == 1
+                            else np.isin(flat, tok_ids_arr)
+                        )
                         cs = np.zeros(len(flat) + 1, dtype=np.int64)
-                        np.cumsum(flat == np.int32(contains_token), out=cs[1:])
+                        np.cumsum(hit, out=cs[1:])
                         doc_hit = cs[offsets[1:]] > cs[offsets[:-1]]
                         if not doc_hit.any():
                             continue
@@ -708,6 +727,158 @@ def read_manifest(out_dir: str) -> dict[str, dict]:
             rec = json.load(f)
         records[rec["file_stem"]] = rec
     return records
+
+
+# driver-vs-join manifest pruning switch: below this many bytes of
+# manifest segments the keep-list loop + In-filter is cheapest (one small
+# file read, no extra Spark jobs); above it the list itself is the scale
+# problem (a multi-GB In-expression and a driver loop over 40M records at
+# the 10^12-sequence target) and pruning moves into the cluster as a
+# filter-manifest semi-join
+MANIFEST_JOIN_BYTES = 64 * 1024 * 1024
+
+# only the fields pruning needs — an explicit schema so spark.read.json
+# never has to infer across records with absent/null bounds
+_MANIFEST_PRUNE_SCHEMA = (
+    "file_stem string, doc_id_min string, doc_id_max string, "
+    "n_tok_min bigint, n_tok_max bigint, "
+    "tok_min bigint, tok_max bigint, tok_filter boolean"
+)
+
+
+_MANIFEST_PRUNE_FIELDS = [
+    "file_stem",
+    "doc_id_min",
+    "doc_id_max",
+    "n_tok_min",
+    "n_tok_max",
+    "tok_min",
+    "tok_max",
+    "tok_filter",
+]
+
+
+def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The manifest as a DataFrame — the cluster-scale form of
+    ``read_manifest``. At the 10^12-sequence target (~40M committed
+    records) the manifest is itself a dataset: only the PATH list is
+    driver-side (segments + loose files — the same listing read_manifest
+    does); the record BYTES are parsed by executors, one task per file
+    (``spark.read.json`` can't be used here — Spark's file index silently
+    ignores ``_``-prefixed paths, which is exactly why the segments carry
+    that prefix: the DATA scan must never pick them up). The
+    loose-overrides-segment / later-segment-overrides-earlier precedence
+    of ``read_manifest`` is reproduced with a per-stem max-precedence
+    window (loose = "1", segments = "0:" + their zero-padded basename, so
+    lexical order IS precedence order). The window is one shuffle over
+    metadata-sized rows — the same cost class as Iceberg's distributed
+    manifest-list planning."""
+    import pandas as pd
+
+    mdir = _manifest_dir(out_dir)
+    segs = sorted(glob.glob(os.path.join(mdir, "_compacted-*.jsonl")))
+    loose = [
+        p
+        for p in glob.glob(os.path.join(mdir, "*.json"))
+        if not os.path.basename(p).startswith("_")
+    ]
+    paths = [(p, "0:" + os.path.basename(p)) for p in segs] + [
+        (p, "1") for p in loose
+    ]
+    if not paths:
+        return spark.createDataFrame([], _MANIFEST_PRUNE_SCHEMA)
+    fields = list(_MANIFEST_PRUNE_FIELDS)
+
+    def parse(batches) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path, prio in zip(b["path"], b["_prio"]):
+                with open(path) as fh:
+                    if path.endswith(".jsonl"):
+                        recs = [json.loads(line) for line in fh if line.strip()]
+                    else:
+                        recs = [json.load(fh)]
+                for i in range(0, len(recs), 65_536):  # bound task memory
+                    chunk = recs[i : i + 65_536]
+                    yield pd.DataFrame(
+                        {
+                            **{k: [r.get(k) for r in chunk] for k in fields},
+                            "_prio": prio,
+                        }
+                    )
+
+    man = (
+        spark.createDataFrame(paths, "path string, _prio string")
+        .repartition(len(paths))
+        .mapInPandas(parse, schema=_MANIFEST_PRUNE_SCHEMA + ", _prio string")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("file_stem").orderBy(F.col("_prio").desc())
+    return (
+        man.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+
+def _keep_stems_df(
+    spark: SparkSession,
+    out_dir: str,
+    want_lo: str | None,
+    want_hi: str | None,
+    n_tok_range: tuple[int, int] | None,
+    tok_ids: list[int] | None,
+) -> DataFrame:
+    """Distributed file pruning: the manifest DataFrame filtered by the
+    same conservative-keep zone predicates as the driver loops, plus an
+    executor-side sidecar probe for token-content reads (each surviving
+    stem's ``_tokfilters/<stem>.bin`` is opened where the task runs — on
+    a cluster that is the shared object store, and the probe is one small
+    read per FILE, the manifest-plane unit of IO). Returns the stems that
+    survive every requested prune; ``read_decoded`` left-semi-joins the
+    chunk frame against it instead of materializing a driver keep-list."""
+    man = manifest_df(spark, out_dir)
+    if want_lo is not None:
+        man = man.filter(
+            F.col("doc_id_min").isNull()
+            | F.col("doc_id_max").isNull()
+            | ((F.col("doc_id_max") >= want_lo) & (F.col("doc_id_min") <= want_hi))
+        )
+    if n_tok_range:
+        man = man.filter(
+            F.col("n_tok_min").isNull()
+            | F.col("n_tok_max").isNull()
+            | (
+                (F.col("n_tok_max") >= n_tok_range[0])
+                & (F.col("n_tok_min") <= n_tok_range[1])
+            )
+        )
+    if tok_ids:
+        zone = None
+        for t in tok_ids:
+            c = (F.col("tok_min") <= t) & (F.col("tok_max") >= t)
+            zone = c if zone is None else (zone | c)
+        man = man.filter(F.col("tok_min").isNull() | F.col("tok_max").isNull() | zone)
+        probe_ids = list(tok_ids)
+
+        def probe(batches):
+            for pdf in batches:
+                keep = []
+                for stem, has_filter in zip(pdf["file_stem"], pdf["tok_filter"]):
+                    if not has_filter:  # pre-filter encode: conservative keep
+                        keep.append(True)
+                        continue
+                    sidecar = read_token_sidecar(out_dir, stem)
+                    keep.append(
+                        sidecar is None
+                        or any(token_filter_contains(sidecar, t) for t in probe_ids)
+                    )
+                yield pdf.loc[keep, ["file_stem"]]
+
+        return man.select("file_stem", "tok_filter").mapInPandas(
+            probe, schema="file_stem string"
+        )
+    return man.select("file_stem")
 
 
 def compact_manifest(out_dir: str) -> dict:
@@ -1089,8 +1260,9 @@ def read_decoded(
     doc_id_range: tuple[str, str] | None = None,
     doc_ids: list[str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
-    contains_token: int | None = None,
+    contains_token: int | list[int] | None = None,
     columns: list[str] | None = None,
+    manifest_prune: str = "auto",
 ) -> DataFrame:
     """Read the encoded table back as (doc_id, tokens, n_tok, source).
 
@@ -1115,7 +1287,10 @@ def read_decoded(
         token values. Encodes that predate the length zone map simply
         skip the chunk prune (exact filter still applies).
       * ``contains_token``: docs whose token array CONTAINS the id — the
-        contamination-audit / special-token read. Prunes three times
+        contamination-audit / special-token read. Also accepts a LIST of
+        ids with ANY-match semantics (docs containing at least one — the
+        banned-id-set audit shape); pruning is per-id OR'd, so absent
+        members of the set cost nothing. Prunes three times
         before any token blob is parsed: manifest file zones + the
         ``_tokfilters`` sidecar bitmaps (driver-side, no footer opened),
         chunk ``tok_min``/``tok_max`` zones (parquet row-group stats,
@@ -1135,6 +1310,18 @@ def read_decoded(
     ``n_tok_range``, or semi-join the decoded frame against the id frame
     (the manifest's per-file bounds still prune files for any range the
     optimizer can see).
+
+    ``manifest_prune`` picks where file-level pruning runs: ``"driver"``
+    is the keep-list loop (one manifest read, an In-filter on file_stem —
+    cheapest while the manifest is driver-memory-sized); ``"join"`` runs
+    the same conservative zone predicates over ``manifest_df`` in the
+    cluster plus an executor-side sidecar probe, and left-semi-joins the
+    chunk frame on the surviving stems — the only shape that holds at the
+    ~40M-record manifest of the 10^12-sequence target, where the driver
+    list (and the In-expression built from it) is itself the bottleneck.
+    ``"auto"`` switches on total segment bytes (MANIFEST_JOIN_BYTES).
+    Both paths produce identical rows (asserted in
+    tests/test_manifest_join.py).
     """
     enc = spark.read.parquet(os.path.join(out_dir, "data"))
     # manifest-level file pruning: each lineage record carries the file's
@@ -1151,46 +1338,70 @@ def read_decoded(
         lo2, hi2 = ids_sorted[0], ids_sorted[-1]
         want_lo = lo2 if want_lo is None else max(want_lo, lo2)
         want_hi = hi2 if want_hi is None else min(want_hi, hi2)
-    if want_lo is not None:
-        keep = [
-            stem
-            for stem, rec in read_manifest(out_dir).items()
-            if rec.get("doc_id_min") is None
-            or rec.get("doc_id_max") is None
-            or (rec["doc_id_max"] >= want_lo and rec["doc_id_min"] <= want_hi)
-        ]
-        enc = enc.filter(F.col("file_stem").isin(keep))
-    if n_tok_range:
-        # manifest-level file pruning by LENGTH bounds (records from before
-        # the length zone map lack them and are conservatively kept)
-        keep_t = [
-            stem
-            for stem, rec in read_manifest(out_dir).items()
-            if rec.get("n_tok_min") is None
-            or rec.get("n_tok_max") is None
-            or (rec["n_tok_max"] >= n_tok_range[0] and rec["n_tok_min"] <= n_tok_range[1])
-        ]
-        enc = enc.filter(F.col("file_stem").isin(keep_t))
-    if contains_token is not None:
-        # manifest-level token-content pruning: file zone bounds first,
-        # then the sidecar membership bitmap — a pruned file never opens a
-        # parquet footer. Pre-filter encodes (no bounds / no sidecar) are
-        # conservatively kept. Driver cost is one small sidecar read per
-        # zone-surviving stem; at cluster scale this loop is the natural
-        # candidate for a filter-manifest join instead (same contract note
-        # as doc_ids above).
-        tid = int(contains_token)
-        keep_c = []
-        for stem, rec in read_manifest(out_dir).items():
-            t_lo, t_hi = rec.get("tok_min"), rec.get("tok_max")
-            if t_lo is not None and t_hi is not None and not (t_lo <= tid <= t_hi):
-                continue
-            if rec.get("tok_filter"):
-                sidecar = read_token_sidecar(out_dir, stem)
-                if sidecar is not None and not token_filter_contains(sidecar, tid):
+    tids = None if contains_token is None else _token_id_list(contains_token)
+    if want_lo is not None or n_tok_range or tids is not None:
+        # manifest-level file pruning (doc_id bounds, LENGTH bounds, token
+        # zones + sidecar bitmaps): a pruned file never opens a parquet
+        # footer. Pre-upgrade records missing any bound are conservatively
+        # kept by that predicate. Strategy per the docstring: driver
+        # keep-list while the manifest is small, filter-manifest semi-join
+        # once the manifest is itself a dataset.
+        if manifest_prune not in ("auto", "driver", "join"):
+            raise ValueError(f"unknown manifest_prune: {manifest_prune!r}")
+        strategy = manifest_prune
+        if strategy == "auto":
+            seg_bytes = sum(
+                os.path.getsize(p)
+                for p in glob.glob(
+                    os.path.join(_manifest_dir(out_dir), "_compacted-*.jsonl")
+                )
+            )
+            strategy = "join" if seg_bytes > MANIFEST_JOIN_BYTES else "driver"
+        if strategy == "join":
+            enc = enc.join(
+                _keep_stems_df(spark, out_dir, want_lo, want_hi, n_tok_range, tids),
+                "file_stem",
+                "left_semi",
+            )
+        else:
+            keep = []
+            for stem, rec in read_manifest(out_dir).items():
+                if (
+                    want_lo is not None
+                    and rec.get("doc_id_min") is not None
+                    and rec.get("doc_id_max") is not None
+                    and not (
+                        rec["doc_id_max"] >= want_lo and rec["doc_id_min"] <= want_hi
+                    )
+                ):
                     continue
-            keep_c.append(stem)
-        enc = enc.filter(F.col("file_stem").isin(keep_c))
+                if (
+                    n_tok_range
+                    and rec.get("n_tok_min") is not None
+                    and rec.get("n_tok_max") is not None
+                    and not (
+                        rec["n_tok_max"] >= n_tok_range[0]
+                        and rec["n_tok_min"] <= n_tok_range[1]
+                    )
+                ):
+                    continue
+                if tids is not None:
+                    t_lo, t_hi = rec.get("tok_min"), rec.get("tok_max")
+                    cand = (
+                        tids
+                        if t_lo is None or t_hi is None
+                        else [t for t in tids if t_lo <= t <= t_hi]
+                    )
+                    if not cand:
+                        continue
+                    if rec.get("tok_filter"):
+                        sidecar = read_token_sidecar(out_dir, stem)
+                        if sidecar is not None and not any(
+                            token_filter_contains(sidecar, t) for t in cand
+                        ):
+                            continue
+                keep.append(stem)
+            enc = enc.filter(F.col("file_stem").isin(keep))
     if sources and read_layout(out_dir) == "by-source":
         cond = None
         for s in sources:
@@ -1229,14 +1440,13 @@ def read_decoded(
         )
     if contains_token is not None and "tok_max" in enc.columns:
         # chunk-level token VALUE zone: row-group stats evaluate this at
-        # the scan, so out-of-range chunks never read their blob bytes
-        enc = enc.filter(
-            F.col("tok_max").isNull()
-            | (
-                (F.col("tok_min") <= int(contains_token))
-                & (F.col("tok_max") >= int(contains_token))
-            )
-        )
+        # the scan, so out-of-range chunks never read their blob bytes.
+        # For an id SET, per-id between-predicates OR'd (ANY semantics)
+        zone = None
+        for t in tids:
+            c = (F.col("tok_min") <= t) & (F.col("tok_max") >= t)
+            zone = c if zone is None else (zone | c)
+        enc = enc.filter(F.col("tok_max").isNull() | zone)
     if doc_ids:
         # point lookups: a chunk survives only if SOME requested id falls in
         # its zone map — an OR of per-id between-predicates that parquet
@@ -1305,17 +1515,24 @@ def read_decoded(
             (F.col("n_tok") >= n_tok_range[0]) & (F.col("n_tok") <= n_tok_range[1])
         )
     if contains_token is not None:
-        dec = dec.filter(F.array_contains(F.col("tokens"), F.lit(int(contains_token))))
+        if len(tids) == 1:
+            dec = dec.filter(F.array_contains(F.col("tokens"), F.lit(tids[0])))
+        else:
+            dec = dec.filter(
+                F.arrays_overlap(F.col("tokens"), F.array(*[F.lit(t) for t in tids]))
+            )
     if sel != dec_cols:
         dec = dec.select(*sel)
     return dec
 
 
-def token_read_stats(out_dir: str, token: int) -> dict:
+def token_read_stats(out_dir: str, token: int | list[int]) -> dict:
     """Driver-side pruning report for a ``contains_token`` read — mirrors
     read_decoded's manifest logic so tests and benchmarks can assert HOW
-    MUCH a content read skips, not just that its rows are right."""
-    tid = int(token)
+    MUCH a content read skips, not just that its rows are right. Accepts a
+    single id or an ANY-match id list (a file counts as zone-pruned only
+    when EVERY id fails its zone, mirroring the read's per-id OR)."""
+    tids = _token_id_list(token)
     stats = {
         "files_total": 0,
         "files_zone_pruned": 0,
@@ -1325,12 +1542,19 @@ def token_read_stats(out_dir: str, token: int) -> dict:
     for stem, rec in read_manifest(out_dir).items():
         stats["files_total"] += 1
         t_lo, t_hi = rec.get("tok_min"), rec.get("tok_max")
-        if t_lo is not None and t_hi is not None and not (t_lo <= tid <= t_hi):
+        cand = (
+            tids
+            if t_lo is None or t_hi is None
+            else [t for t in tids if t_lo <= t <= t_hi]
+        )
+        if not cand:
             stats["files_zone_pruned"] += 1
             continue
         if rec.get("tok_filter"):
             sidecar = read_token_sidecar(out_dir, stem)
-            if sidecar is not None and not token_filter_contains(sidecar, tid):
+            if sidecar is not None and not any(
+                token_filter_contains(sidecar, t) for t in cand
+            ):
                 stats["files_filter_pruned"] += 1
                 continue
         stats["files_kept"] += 1

@@ -251,6 +251,34 @@ def test_contains_token_on_salted_layout(spark, tmp_path):
     assert st_["files_kept"] < st_["files_total"], st_
 
 
+def test_contains_token_set_any_semantics(spark, token_dir, enc_dir):
+    """A banned-id SET (the realistic audit shape): docs containing ANY of
+    the ids, equal to an arrays_overlap over the raw input; absent ids in
+    the set must not weaken pruning for the rare one."""
+    rare, absent = _rare_and_absent(token_dir)
+    ids = [rare, absent]
+    exp = (
+        spark.read.parquet(token_dir)
+        .filter(F.arrays_overlap("tokens", F.array(*[F.lit(int(t)) for t in ids])))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    got = (
+        read_decoded(spark, enc_dir, contains_token=ids)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r[0] for r in got] == [r[0] for r in exp] and got
+    # the absent member adds no files: still only the rare token's file
+    st_ = token_read_stats(enc_dir, ids)
+    assert st_["files_kept"] == 1, st_
+    # single-id behaviour unchanged through the list form
+    one = read_decoded(spark, enc_dir, contains_token=[rare]).count()
+    assert one == read_decoded(spark, enc_dir, contains_token=rare).count()
+
+
 def test_pre_upgrade_encode_still_reads_exactly(spark, token_dir, tmp_path):
     """Strip one committed file down to the pre-filter format (no tok_*
     chunk columns, no manifest bounds, no sidecar): the conservative-keep
