@@ -20,12 +20,15 @@ PIL/ffmpeg in this container, but none of the three needs them):
 
 The BMP/WAV payloads are genuine format-valid files built JVM-side as a
 binary column (headers + md5-digest pixel/sample bytes — arbitrary
-non-ASCII binary through Arrow); their parser is scoped to the CANONICAL
-single-fmt/single-data layout the builder emits (fixed chunk offsets,
-bottom-up BMP) — real-world WAVs with LIST/fact chunks or top-down BMPs
-are out of scope and rejected by the depth/dimension guards rather than
-mis-parsed. The PNG path has no such scoping: its chunk walk is the
-general one. PNG payloads are also built JVM-side — a real zlib stream
+non-ASCII binary through Arrow). The WAV parser walks RIFF chunks for
+real (vectorized lockstep walk — one gather round per chunk DEPTH, all
+rows advancing together), so files with LIST/fact/cue chunks before fmt
+or data parse correctly, and BMP height is read as signed int32 so
+top-down files (negative height) parse with |height| and the identical
+body sum. Remaining honest scope line: BMP assumes the BITMAPINFOHEADER
+field layout (the 1992-era BITMAPCOREHEADER variant is rejected by the
+dims guard, not mis-summed), and WAV samples must be 8-bit PCM. The PNG
+chunk walk is likewise the general one. PNG payloads are also built JVM-side — a real zlib stream
 (stored-block deflate + closed-form Adler-32 in SQL arithmetic) wrapped
 in CRC-correct chunks via Spark's crc32(); the body uses filter 2 (Up)
 on every scanline after the first, so the gate query exercises genuine
@@ -53,6 +56,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .spread import spread
+
+# RIFF walk depth cap: a format-valid WAV reaches fmt+data in ≤3 chunks;
+# 64 tolerates metadata-heavy files while bounding work on garbage input
+_MAX_RIFF_CHUNKS = 64
 
 # plain blob payload (frame_sample/transform): md5 digest bytes repeated k
 # times, k = 1 + n_chars % 200 → 16..3200 bytes of non-ASCII binary per row
@@ -417,13 +424,72 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raise ValueError("unknown payload magic in multimodal batch")
         if bool((lens[is_bmp] < 54).any()):
             raise ValueError("truncated BMP header")
-        # BMP: data offset@10, width@18, height@22, bpp@28 (must be 24)
-        # WAV: channels@22, bits@34 (must be 8), data size@40, body@44
+        # BMP: data offset@10 (general — pixels live wherever the file
+        # header says), width@18, height@22 read as SIGNED int32: negative
+        # = top-down row order (same pixel bytes, same body sum), bpp@28
+        # (must be 24). BITMAPINFOHEADER field layout assumed (the ancient
+        # BITMAPCOREHEADER variant puts width elsewhere and is rejected by
+        # the dims guard, not mis-summed: its 12-byte header makes the
+        # width gather implausible).
+        # WAV: general RIFF chunk walk below — 'fmt ' and 'data' located
+        # wherever they sit (LIST/fact/cue chunks are walked over, not
+        # assumed absent); channels/bits from the fmt body, body bounds
+        # from the data chunk.
         # (PNG rows get zero-length body bounds here; their fields are
         # filled from _parse_png below)
-        data_off = np.select([is_bmp, is_wav], [le(starts + 10, 4), 44], 0)
-        n_channels = np.select([is_bmp, is_wav], [3, le(starts + 22, 2)], 0)
-        bmp_w, bmp_h = le(starts + 18, 4), le(starts + 22, 4)
+        bmp_w = le(starts + 18, 4)
+        bmp_h_raw = le(starts + 22, 4)
+        bmp_h = np.where(bmp_h_raw >= 1 << 31, (1 << 32) - bmp_h_raw, bmp_h_raw)
+        ends = starts + lens
+        wav_fmt = np.full(len(bufs), -1, dtype=np.int64)
+        wav_data = np.full(len(bufs), -1, dtype=np.int64)
+        wav_dlen = np.zeros(len(bufs), dtype=np.int64)
+        if bool(is_wav.any()):
+            wave_ok = (
+                (flat[starts + 8] == 0x57)
+                & (flat[starts + 9] == 0x41)
+                & (flat[starts + 10] == 0x56)
+                & (flat[starts + 11] == 0x45)
+            )
+            if not bool(wave_ok[is_wav].all()):
+                raise ValueError("RIFF payload without WAVE form type")
+            # vectorized walk: ONE gather round per chunk DEPTH (not per
+            # row) — all rows advance through their chunk lists in
+            # lockstep, rows that found both chunks (or ran out) go
+            # inactive. Word-aligned advance per the RIFF spec (odd-sized
+            # chunks carry a pad byte).
+            off = np.where(is_wav, starts + 12, np.int64(-1))
+            for _ in range(_MAX_RIFF_CHUNKS):
+                active = (
+                    is_wav
+                    & ((wav_fmt < 0) | (wav_data < 0))
+                    & (off >= 0)
+                    & (off + 8 <= ends)
+                )
+                if not bool(active.any()):
+                    break
+                o = np.where(active, off, starts)  # in-bounds gather slot
+                cksz = le(o + 4, 4)
+                c0, c1, c2, c3 = flat[o], flat[o + 1], flat[o + 2], flat[o + 3]
+                is_fmt = active & (c0 == 0x66) & (c1 == 0x6D) & (c2 == 0x74) & (c3 == 0x20)
+                is_dat = active & (c0 == 0x64) & (c1 == 0x61) & (c2 == 0x74) & (c3 == 0x61)
+                if not bool((o + 8 + cksz <= ends)[is_fmt | is_dat].all()):
+                    raise ValueError("truncated WAV chunk")
+                wav_fmt = np.where(is_fmt & (wav_fmt < 0), o + 8, wav_fmt)
+                take = is_dat & (wav_data < 0)
+                wav_data = np.where(take, o + 8, wav_data)
+                wav_dlen = np.where(take, cksz, wav_dlen)
+                off = np.where(active, o + 8 + cksz + (cksz & 1), off)
+            if bool(((wav_fmt < 0) | (wav_data < 0))[is_wav].any()):
+                raise ValueError("WAV missing fmt/data chunk")
+            if bool((wav_fmt + 16 > ends)[is_wav].any()):
+                raise ValueError("truncated WAV fmt body")
+        safe_fmt = np.where(wav_fmt >= 0, wav_fmt, starts)
+        safe_dat = np.where(wav_data >= 0, wav_data, starts)
+        data_off = np.select(
+            [is_bmp, is_wav], [le(starts + 10, 4), safe_dat - starts], 0
+        )
+        n_channels = np.select([is_bmp, is_wav], [3, le(safe_fmt + 2, 2)], 0)
         # dimension/channel sanity BEFORE any arithmetic that uses them:
         # header ints are attacker-controlled; width*height*3 can wrap
         # int64 past the truncation guard, and channels=0 would divide by
@@ -440,19 +506,19 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raise ValueError("implausible dimensions/channels in payload header")
         width = np.select(
             [is_bmp, is_wav],
-            [bmp_w, le(starts + 40, 4) // np.maximum(n_channels, 1)],
+            [bmp_w, wav_dlen // np.maximum(n_channels, 1)],
             0,
         )
         height = np.select([is_bmp, is_wav], [bmp_h, 1], 0)
         depth_ok = np.select(
             [is_bmp, is_wav],
-            [le(starts + 28, 2) == 24, le(starts + 34, 2) == 8],
+            [le(starts + 28, 2) == 24, le(safe_fmt + 14, 2) == 8],
             True,
         )
         if not bool(depth_ok.all()):
             raise ValueError("unsupported bit depth")
         body_len = np.select(
-            [is_bmp, is_wav], [bmp_w * bmp_h * 3, le(starts + 40, 4)], 0
+            [is_bmp, is_wav], [bmp_w * bmp_h * 3, wav_dlen], 0
         )
         b0, b1 = starts + data_off, starts + data_off + body_len
         if bool((b1 > starts + lens).any()):

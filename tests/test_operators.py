@@ -967,3 +967,113 @@ def test_decontaminate_mass_duplication_beyond_caps(spark):
     clean = decontaminate(train, bench)
     assert clean.count() == 20
     assert clean.filter(F.col("doc_id") < 1000).count() == 0
+
+
+def _make_wav_chunked(data: bytes, channels: int = 1, pre_chunks=(), post_fmt_chunks=()):
+    """Independent WAV builder: RIFF container with arbitrary metadata
+    chunks before fmt (pre_chunks) and between fmt and data
+    (post_fmt_chunks) — the real-world layouts (LIST/fact/cue) the
+    engine's SQL builder never emits."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""  # RIFF word alignment
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * channels, channels, 8)
+    inner = (
+        b"".join(chunk(cid, b) for cid, b in pre_chunks)
+        + chunk(b"fmt ", fmt)
+        + b"".join(chunk(cid, b) for cid, b in post_fmt_chunks)
+        + chunk(b"data", data)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+
+
+def _make_bmp_signed(w: int, h: int, pixels: bytes, top_down: bool = False) -> bytes:
+    import struct
+
+    assert len(pixels) == w * abs(h) * 3 and (w * 3) % 4 == 0
+    h_field = -abs(h) if top_down else abs(h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    return hdr + info + pixels
+
+
+def test_wav_riff_walk_and_topdown_bmp(spark, tmp_path):
+    """Non-canonical container layouts must parse, not be rejected:
+    WAVs with LIST/fact/cue chunks around fmt/data (including odd-sized
+    chunks exercising the RIFF pad byte), and top-down BMPs (negative
+    height) — same |height| and body sum as their bottom-up twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from poc_parquet_aggregator_spark.operators.multimodal import (
+        DECODED_META,
+        _decode_batches,
+    )
+
+    data = bytes((7 * i) % 256 for i in range(160))
+    px = bytes((11 * i) % 256 for i in range(16 * 5 * 3))
+    media = [
+        _make_wav_chunked(data),  # canonical
+        _make_wav_chunked(data, channels=2, pre_chunks=[(b"LIST", b"INFOisft-test")]),  # odd-size → pad
+        _make_wav_chunked(
+            data,
+            pre_chunks=[(b"JUNK", bytes(12))],
+            post_fmt_chunks=[(b"fact", bytes(4)), (b"cue ", bytes(24))],
+        ),
+        _make_bmp_signed(16, 5, px),
+        _make_bmp_signed(16, 5, px, top_down=True),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(media)), type=pa.int64()),
+            "payload": pa.array(media, type=pa.binary()),
+        }
+    )
+    path = str(tmp_path / "riff.parquet")
+    pq.write_table(tbl, path)
+    meta = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(path)
+        .mapInPandas(_decode_batches, schema=DECODED_META)
+        .collect()
+    }
+    for i, ch in [(0, 1), (1, 2), (2, 1)]:
+        assert meta[i]["format"] == "wav8"
+        assert meta[i]["n_channels"] == ch
+        assert meta[i]["width"] == len(data) // ch
+        assert meta[i]["body_sum"] == sum(data), i
+    for i in (3, 4):
+        assert meta[i]["format"] == "bmp24"
+        assert (meta[i]["width"], meta[i]["height"]) == (16, 5)
+        assert meta[i]["body_sum"] == sum(px)
+
+    # still rejected, never mis-parsed: missing data chunk; non-PCM bits;
+    # RIFF without WAVE; BMP with zero height
+    import struct
+
+    no_data = _make_wav_chunked(data)[: 12 + 8 + 16]  # RIFF+fmt only, no data chunk
+    bits16 = _make_wav_chunked(data).replace(
+        struct.pack("<HH", 1, 8)[2:], struct.pack("<H", 16), 1
+    )
+    not_wave = b"RIFF" + struct.pack("<I", 4) + b"AVI " + bytes(32)
+    zero_h = bytearray(_make_bmp_signed(16, 5, px))
+    zero_h[22:26] = struct.pack("<i", 0)
+    for bad in (no_data, bits16, not_wave, bytes(zero_h)):
+        tbl_bad = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "payload": pa.array([bad], type=pa.binary()),
+            }
+        )
+        pbad = str(tmp_path / "badriff.parquet")
+        pq.write_table(tbl_bad, pbad)
+        with pytest.raises(
+            Exception,
+            match="WAV|WAVE|payload|magic|truncated|implausible|bit depth",
+        ):
+            spark.read.parquet(pbad).mapInPandas(
+                _decode_batches, schema=DECODED_META
+            ).collect()
