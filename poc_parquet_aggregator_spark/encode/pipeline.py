@@ -806,9 +806,13 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
                         }
                     )
 
+    # one task per file up to ~4x core count — a segment parses in its own
+    # task, while a backlog of loose JSONs (many tiny files) batches into
+    # a bounded task count instead of one task each
+    n_tasks = min(len(paths), spark.sparkContext.defaultParallelism * 4)
     man = (
         spark.createDataFrame(paths, "path string, _prio string")
-        .repartition(len(paths))
+        .repartition(n_tasks)
         .mapInPandas(parse, schema=_MANIFEST_PRUNE_SCHEMA + ", _prio string")
     )
     from pyspark.sql.window import Window
