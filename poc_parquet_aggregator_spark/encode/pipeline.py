@@ -711,18 +711,32 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
+def _manifest_paths(out_dir: str) -> tuple[list[str], list[str]]:
+    """(segments ascending, loose per-file JSONs) — the ONE listing whose
+    rules (segment glob order, underscore exclusion for job-level
+    summaries) every manifest reader shares; read_manifest, the
+    compactors, and manifest_df must agree on it byte for byte."""
+    mdir = _manifest_dir(out_dir)
+    segs = sorted(glob.glob(os.path.join(mdir, "_compacted-*.jsonl")))
+    loose = [
+        p
+        for p in glob.glob(os.path.join(mdir, "*.json"))
+        if not os.path.basename(p).startswith("_")
+    ]
+    return segs, loose
+
+
 def read_manifest(out_dir: str) -> dict[str, dict]:
     """Committed records: compacted JSONL segments first (ascending), then
     loose per-file JSONs (newer, override by stem)."""
     records = {}
-    for p in sorted(glob.glob(os.path.join(_manifest_dir(out_dir), "_compacted-*.jsonl"))):
+    segs, loose = _manifest_paths(out_dir)
+    for p in segs:
         with open(p) as f:
             for line in f:
                 rec = json.loads(line)
                 records[rec["file_stem"]] = rec
-    for p in glob.glob(os.path.join(_manifest_dir(out_dir), "*.json")):
-        if os.path.basename(p).startswith("_"):
-            continue  # job-level summaries, not per-unit records
+    for p in loose:
         with open(p) as f:
             rec = json.load(f)
         records[rec["file_stem"]] = rec
@@ -775,43 +789,65 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     manifest-list planning."""
     import pandas as pd
 
-    mdir = _manifest_dir(out_dir)
-    segs = sorted(glob.glob(os.path.join(mdir, "_compacted-*.jsonl")))
-    loose = [
-        p
-        for p in glob.glob(os.path.join(mdir, "*.json"))
-        if not os.path.basename(p).startswith("_")
-    ]
-    paths = [(p, "0:" + os.path.basename(p)) for p in segs] + [
-        (p, "1") for p in loose
-    ]
-    if not paths:
+    segs, loose = _manifest_paths(out_dir)
+    # segments are split by BYTE RANGE (~32 MB, aligned to line boundaries
+    # by the reader) so even the post-compaction shape — ONE segment
+    # holding every record — parses in parallel with bounded task memory,
+    # the text-input-split discipline. Loose JSONs are whole-file splits.
+    split_bytes = 32 * 1024 * 1024
+    splits: list[tuple[str, int, int, str]] = []
+    for p in segs:
+        size = os.path.getsize(p)
+        prio = "0:" + os.path.basename(p)
+        for start in range(0, max(size, 1), split_bytes):
+            splits.append((p, start, min(start + split_bytes, size), prio))
+    splits += [(p, 0, -1, "1") for p in loose]
+    if not splits:
         return spark.createDataFrame([], _MANIFEST_PRUNE_SCHEMA)
     fields = list(_MANIFEST_PRUNE_FIELDS)
 
     def parse(batches) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            for path, prio in zip(b["path"], b["_prio"]):
-                with open(path) as fh:
-                    if path.endswith(".jsonl"):
-                        recs = [json.loads(line) for line in fh if line.strip()]
-                    else:
-                        recs = [json.load(fh)]
-                for i in range(0, len(recs), 65_536):  # bound task memory
-                    chunk = recs[i : i + 65_536]
-                    yield pd.DataFrame(
-                        {
-                            **{k: [r.get(k) for r in chunk] for k in fields},
-                            "_prio": prio,
-                        }
-                    )
+        def emit(recs: list[dict], prio: str) -> pd.DataFrame:
+            return pd.DataFrame(
+                {**{k: [r.get(k) for r in recs] for k in fields}, "_prio": prio}
+            )
 
-    # one task per file up to ~4x core count — a segment parses in its own
-    # task, while a backlog of loose JSONs (many tiny files) batches into
-    # a bounded task count instead of one task each
-    n_tasks = min(len(paths), spark.sparkContext.defaultParallelism * 4)
+        for b in batches:
+            for path, start, end, prio in zip(
+                b["path"], b["start"], b["end"], b["_prio"]
+            ):
+                if end < 0:  # loose per-file JSON: one record
+                    with open(path) as fh:
+                        yield emit([json.load(fh)], prio)
+                    continue
+                # JSONL byte-range split: seek, drop the partial line the
+                # PREVIOUS split will finish, stream until past `end`
+                # (records are streamed in bounded chunks, never the
+                # whole segment at once)
+                with open(path, "rb") as fh:
+                    fh.seek(start)
+                    if start:
+                        fh.readline()
+                    recs: list[dict] = []
+                    while fh.tell() <= end:
+                        line = fh.readline()
+                        if not line:
+                            break
+                        if line.strip():
+                            recs.append(json.loads(line))
+                        if len(recs) >= 65_536:
+                            yield emit(recs, prio)
+                            recs = []
+                    if recs:
+                        yield emit(recs, prio)
+
+    # one task per split up to ~4x core count — a backlog of loose JSONs
+    # (many tiny files) batches into a bounded task count
+    n_tasks = min(len(splits), spark.sparkContext.defaultParallelism * 4)
     man = (
-        spark.createDataFrame(paths, "path string, _prio string")
+        spark.createDataFrame(
+            splits, "path string, start bigint, end bigint, _prio string"
+        )
         .repartition(n_tasks)
         .mapInPandas(parse, schema=_MANIFEST_PRUNE_SCHEMA + ", _prio string")
     )
@@ -866,20 +902,35 @@ def _keep_stems_df(
         probe_ids = list(tok_ids)
 
         def probe(batches):
+            def bound(v):  # null-tolerant: None or NaN → no bound
+                return None if v is None or v != v else int(v)
+
             for pdf in batches:
                 keep = []
-                for stem, has_filter in zip(pdf["file_stem"], pdf["tok_filter"]):
+                for stem, has_filter, t_lo, t_hi in zip(
+                    pdf["file_stem"], pdf["tok_filter"], pdf["tok_min"], pdf["tok_max"]
+                ):
                     if not has_filter:  # pre-filter encode: conservative keep
                         keep.append(True)
                         continue
+                    # probe only the ids inside THIS file's zone — the same
+                    # candidate subset the driver path uses, so a hashed-
+                    # mode false positive on an out-of-zone id can't keep a
+                    # file the driver path (and token_read_stats) prunes
+                    lo, hi = bound(t_lo), bound(t_hi)
+                    cand = (
+                        probe_ids
+                        if lo is None or hi is None
+                        else [t for t in probe_ids if lo <= t <= hi]
+                    )
                     sidecar = read_token_sidecar(out_dir, stem)
                     keep.append(
                         sidecar is None
-                        or any(token_filter_contains(sidecar, t) for t in probe_ids)
+                        or any(token_filter_contains(sidecar, t) for t in cand)
                     )
                 yield pdf.loc[keep, ["file_stem"]]
 
-        return man.select("file_stem", "tok_filter").mapInPandas(
+        return man.select("file_stem", "tok_filter", "tok_min", "tok_max").mapInPandas(
             probe, schema="file_stem string"
         )
     return man.select("file_stem")
@@ -902,12 +953,7 @@ def compact_manifest(out_dir: str) -> dict:
     """
     mdir = _manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
-    old_segments = sorted(glob.glob(os.path.join(mdir, "_compacted-*.jsonl")))
-    loose = [
-        p
-        for p in glob.glob(os.path.join(mdir, "*.json"))
-        if not os.path.basename(p).startswith("_")
-    ]
+    old_segments, loose = _manifest_paths(out_dir)
     records = read_manifest(out_dir)
     if not loose and len(old_segments) <= 1:
         return {"records": len(records), "absorbed": 0, "segments": len(old_segments)}
@@ -1342,6 +1388,8 @@ def read_decoded(
         lo2, hi2 = ids_sorted[0], ids_sorted[-1]
         want_lo = lo2 if want_lo is None else max(want_lo, lo2)
         want_hi = hi2 if want_hi is None else min(want_hi, hi2)
+    if manifest_prune not in ("auto", "driver", "join"):
+        raise ValueError(f"unknown manifest_prune: {manifest_prune!r}")
     tids = None if contains_token is None else _token_id_list(contains_token)
     if want_lo is not None or n_tok_range or tids is not None:
         # manifest-level file pruning (doc_id bounds, LENGTH bounds, token
@@ -1350,17 +1398,16 @@ def read_decoded(
         # kept by that predicate. Strategy per the docstring: driver
         # keep-list while the manifest is small, filter-manifest semi-join
         # once the manifest is itself a dataset.
-        if manifest_prune not in ("auto", "driver", "join"):
-            raise ValueError(f"unknown manifest_prune: {manifest_prune!r}")
         strategy = manifest_prune
         if strategy == "auto":
-            seg_bytes = sum(
-                os.path.getsize(p)
-                for p in glob.glob(
-                    os.path.join(_manifest_dir(out_dir), "_compacted-*.jsonl")
-                )
+            # total manifest bytes — segments AND the loose backlog (a
+            # never-compacted dir of millions of per-file JSONs is just as
+            # driver-hostile as one huge segment)
+            segs_a, loose_a = _manifest_paths(out_dir)
+            man_bytes = sum(os.path.getsize(p) for p in segs_a) + sum(
+                os.path.getsize(p) for p in loose_a
             )
-            strategy = "join" if seg_bytes > MANIFEST_JOIN_BYTES else "driver"
+            strategy = "join" if man_bytes > MANIFEST_JOIN_BYTES else "driver"
         if strategy == "join":
             enc = enc.join(
                 _keep_stems_df(spark, out_dir, want_lo, want_hi, n_tok_range, tids),

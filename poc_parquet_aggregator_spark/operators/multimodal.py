@@ -442,6 +442,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bmp_h = np.where(bmp_h_raw >= 1 << 31, (1 << 32) - bmp_h_raw, bmp_h_raw)
         ends = starts + lens
         wav_fmt = np.full(len(bufs), -1, dtype=np.int64)
+        wav_fsz = np.zeros(len(bufs), dtype=np.int64)
         wav_data = np.full(len(bufs), -1, dtype=np.int64)
         wav_dlen = np.zeros(len(bufs), dtype=np.int64)
         if bool(is_wav.any()):
@@ -475,17 +476,25 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 is_dat = active & (c0 == 0x64) & (c1 == 0x61) & (c2 == 0x74) & (c3 == 0x61)
                 if not bool((o + 8 + cksz <= ends)[is_fmt | is_dat].all()):
                     raise ValueError("truncated WAV chunk")
-                wav_fmt = np.where(is_fmt & (wav_fmt < 0), o + 8, wav_fmt)
+                take_f = is_fmt & (wav_fmt < 0)
+                wav_fmt = np.where(take_f, o + 8, wav_fmt)
+                wav_fsz = np.where(take_f, cksz, wav_fsz)
                 take = is_dat & (wav_data < 0)
                 wav_data = np.where(take, o + 8, wav_data)
                 wav_dlen = np.where(take, cksz, wav_dlen)
                 off = np.where(active, o + 8 + cksz + (cksz & 1), off)
             if bool(((wav_fmt < 0) | (wav_data < 0))[is_wav].any()):
                 raise ValueError("WAV missing fmt/data chunk")
-            if bool((wav_fmt + 16 > ends)[is_wav].any()):
-                raise ValueError("truncated WAV fmt body")
+            # the fields read below (format tag@+0, channels@+2, bits@+14)
+            # must sit inside the fmt chunk's OWN body — a 14-byte
+            # WAVEFORMAT (no bitsPerSample) must reject, not read the
+            # neighbor chunk's bytes
+            if bool((wav_fsz < 16)[is_wav].any()):
+                raise ValueError("WAV fmt chunk too small (16-byte PCM body required)")
         safe_fmt = np.where(wav_fmt >= 0, wav_fmt, starts)
         safe_dat = np.where(wav_data >= 0, wav_data, starts)
+        if bool(is_wav.any()) and not bool((le(safe_fmt, 2) == 1)[is_wav].all()):
+            raise ValueError("unsupported WAV audio format tag (PCM=1 required)")
         data_off = np.select(
             [is_bmp, is_wav], [le(starts + 10, 4), safe_dat - starts], 0
         )

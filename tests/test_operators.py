@@ -1051,17 +1051,32 @@ def test_wav_riff_walk_and_topdown_bmp(spark, tmp_path):
         assert meta[i]["body_sum"] == sum(px)
 
     # still rejected, never mis-parsed: missing data chunk; non-PCM bits;
-    # RIFF without WAVE; BMP with zero height
+    # non-PCM format tag; 14-byte WAVEFORMAT fmt (no bitsPerSample — the
+    # walk must NOT read neighbor-chunk bytes); RIFF without WAVE; BMP
+    # with zero height
     import struct
 
-    no_data = _make_wav_chunked(data)[: 12 + 8 + 16]  # RIFF+fmt only, no data chunk
+    def _riff(inner: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WAVE" + inner
+
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    no_data = _riff(  # ≥44 bytes so the RIFF walk itself must reject it
+        b"JUNK" + struct.pack("<I", 16) + bytes(16)
+        + b"fmt " + struct.pack("<I", 16) + fmt16
+    )
     bits16 = _make_wav_chunked(data).replace(
         struct.pack("<HH", 1, 8)[2:], struct.pack("<H", 16), 1
+    )
+    adpcm = bytearray(_make_wav_chunked(data))
+    adpcm[20:22] = struct.pack("<H", 2)  # audioFormat = ADPCM
+    short_fmt = _riff(
+        b"fmt " + struct.pack("<I", 14) + fmt16[:14]
+        + b"data" + struct.pack("<I", len(data)) + data
     )
     not_wave = b"RIFF" + struct.pack("<I", 4) + b"AVI " + bytes(32)
     zero_h = bytearray(_make_bmp_signed(16, 5, px))
     zero_h[22:26] = struct.pack("<i", 0)
-    for bad in (no_data, bits16, not_wave, bytes(zero_h)):
+    for bad in (no_data, bits16, bytes(adpcm), short_fmt, not_wave, bytes(zero_h)):
         tbl_bad = pa.table(
             {
                 "doc_id": pa.array([0], type=pa.int64()),
@@ -1072,7 +1087,7 @@ def test_wav_riff_walk_and_topdown_bmp(spark, tmp_path):
         pq.write_table(tbl_bad, pbad)
         with pytest.raises(
             Exception,
-            match="WAV|WAVE|payload|magic|truncated|implausible|bit depth",
+            match="WAV|WAVE|payload|magic|truncated|implausible|bit depth|audio format|fmt chunk",
         ):
             spark.read.parquet(pbad).mapInPandas(
                 _decode_batches, schema=DECODED_META
