@@ -751,6 +751,10 @@ def read_manifest(out_dir: str) -> dict[str, dict]:
 # filter-manifest semi-join
 MANIFEST_JOIN_BYTES = 64 * 1024 * 1024
 
+# segment byte-range split size for the distributed manifest parse
+# (module-level so tests can shrink it to force many splits on small files)
+MANIFEST_SPLIT_BYTES = 32 * 1024 * 1024
+
 # only the fields pruning needs — an explicit schema so spark.read.json
 # never has to infer across records with absent/null bounds
 _MANIFEST_PRUNE_SCHEMA = (
@@ -794,7 +798,7 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     # by the reader) so even the post-compaction shape — ONE segment
     # holding every record — parses in parallel with bounded task memory,
     # the text-input-split discipline. Loose JSONs are whole-file splits.
-    split_bytes = 32 * 1024 * 1024
+    split_bytes = MANIFEST_SPLIT_BYTES
     splits: list[tuple[str, int, int, str]] = []
     for p in segs:
         size = os.path.getsize(p)

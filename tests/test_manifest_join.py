@@ -149,3 +149,35 @@ def test_bad_strategy_raises(spark, enc_dir):
         read_decoded(
             spark, enc_dir, n_tok_range=(1, 2), manifest_prune="cluster"
         ).count()
+
+
+def test_manifest_df_byte_range_split_alignment(spark, tmp_path, monkeypatch):
+    """The line-aligned byte-range split logic must never duplicate or
+    drop a record wherever the split boundary lands: shrink the split
+    size so a small segment parses through MANY splits (boundaries land
+    mid-line, on line starts, and at EOF across the sweep) and assert
+    exact record identity vs the driver reader."""
+    import poc_parquet_aggregator_spark.encode.pipeline as pl
+
+    out = str(tmp_path / "m")
+    os.makedirs(os.path.join(out, "_manifest"))
+    rng = np.random.default_rng(7)
+    n = 3000
+    with open(os.path.join(out, "_manifest", "_compacted-000000.jsonl"), "w") as f:
+        for i in range(n):
+            f.write(
+                json.dumps(
+                    {
+                        "file_stem": f"s-{i:06d}",
+                        "n_tok_min": int(rng.integers(1, 100)),
+                        "pad": "x" * int(rng.integers(0, 120)),  # vary line length
+                    }
+                )
+                + "\n"
+            )
+    for split in (64, 257, 4096, 1 << 30):
+        monkeypatch.setattr(pl, "MANIFEST_SPLIT_BYTES", split)
+        rows = manifest_df(spark, out).select("file_stem", "n_tok_min").collect()
+        got = {r["file_stem"]: r["n_tok_min"] for r in rows}
+        exp = {s: r["n_tok_min"] for s, r in read_manifest(out).items()}
+        assert len(rows) == n and got == exp, split
