@@ -105,9 +105,16 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     CollapseProject (multi-use, non-cheap) and evaluates once per row."""
     words = F.split(F.lower(F.regexp_replace("text", r"\s+", " ")), " ")
     d2 = d.select("doc_id", words.alias("w"))
+    # get() ×n instead of slice()+concat_ws(array): the slice form
+    # allocates an n-element array per gram inside the interpreted lambda —
+    # measured 2× the whole shingle stage at sf1.0 (r7); concat_ws over n
+    # scalar lookups emits the identical string (get is 0-based and NULL
+    # out of bounds — concat_ws skips NULLs exactly as it skips the
+    # elements slice() truncates away on short docs; element_at would
+    # throw there under Spark 4's default ANSI mode)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+        lambda i: F.concat_ws(" ", *[F.get("w", i + j) for j in range(n)]),
     )
     return d2.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
@@ -140,7 +147,6 @@ def _capped_shingles(d: DataFrame) -> DataFrame:
 # this module). The capped-shingle frame feeds both jaccard and minhash —
 # r2 VERDICT #3.
 from .cache import memo_frame as _memo_frame  # noqa: E402
-from .cache import memo_get as _memo_get  # noqa: E402
 from .cache import purge_frame_memo  # noqa: E402,F401
 
 
@@ -148,14 +154,6 @@ def _capped_shingles_cached(spark: SparkSession, sf: str) -> DataFrame:
     """jaccard consumes the shingle frame three times (self-join sides +
     sizes) so it always pays the persist."""
     return _memo_frame("shingles", spark, sf, lambda: _capped_shingles(_docs(spark, sf)))
-
-
-def _capped_shingles_maybe_shared(spark: SparkSession, sf: str) -> DataFrame:
-    """Memo hit if a prior query persisted the shingle frame this session;
-    plain unpersisted plan otherwise — minhash must not pay a persist for a
-    frame it reads once (measured ~2× on its standalone path)."""
-    hit = _memo_get("shingles", spark, sf)
-    return hit if hit is not None else _capped_shingles(_docs(spark, sf))
 
 
 # shared oracle CTE: distinct 3-gram shingles per doc, hot shingles dropped
@@ -309,61 +307,122 @@ def drop_overcap_buckets(banded: DataFrame) -> DataFrame:
     return banded.join(ok, ["band", "band_key"])
 
 
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s7, n_sh) — the 8 min-hash signatures, built to be
+    PERSISTED so they are evaluated exactly once (round 7): the r7 profile
+    measured the former in-plan form re-running its interpreted md5 HOF
+    transforms in four plan branches under one query (4 × ~30 task-s).
+    The collect_set → hoisted h0/h1 md5 arrays → array_min(substring)
+    shape is kept because it measured 5× cheaper per row than computing
+    the mins as 8 declarative aggregates at the exploded-row level (the
+    agg-buffer update path costs more than the interpreted transform).
+    n_sh ≡ size(sh_set); values identical to the former inline pipeline."""
+    doc_sets = (
+        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    hashed = doc_sets.select(
+        "doc_id",
+        F.size("sh_set").alias("n_sh"),
+        F.transform("sh_set", lambda x: F.md5(F.concat(F.lit("0|"), x))).alias("h0"),
+        F.transform("sh_set", lambda x: F.md5(F.concat(F.lit("1|"), x))).alias("h1"),
+    )
+
+    def _minhash_col(i: int):
+        src, pos = ("h0" if i < 4 else "h1"), (i % 4) * 8 + 1
+        return F.array_min(
+            F.transform(src, lambda h: F.substring(h, pos, 8))
+        ).alias(f"s{i}")
+
+    return hashed.select(
+        "doc_id", *[_minhash_col(i) for i in range(_N_HASHES)], "n_sh"
+    )
+
+
+def _minhash_banded_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, k1, k2) band rows from the persisted sigs frame —
+    one cheap explode of 50k-ish rows; (k1, k2) two-column equality ⟺ the
+    oracle's concatenated band_key equality ('|' never appears in hex)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col(f"s{b * _BAND_SIZE}").alias("k1"),
+                F.col(f"s{b * _BAND_SIZE + 1}").alias("k2"),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"),
+        F.col("bk.k1").alias("k1"), F.col("bk.k2").alias("k2"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (min over md5(seed||shingle) — portable string-min
     MinHash), banded LSH bucketing, candidate pairs from same-band buckets,
-    then verified with exact Jaccard over the capped shingle sets (only
+    then verified with exact Jaccard over the capped shingle frame (only
     pairs with true J ≥ 0.5 survive).
 
-    Shuffle economy is the whole design: shingles aggregate into ONE
-    per-doc set frame (single doc_id shuffle, cached); signatures come from
-    the set arrays via array_min(transform(...)) — codegen'd, zero extra
-    shuffle; banding is one explode + a bucket-capped self-join; and
-    verification joins the (small) candidate pair set against the cached
-    doc-set frame twice, computing |A∩B| row-wise with array_intersect
-    instead of re-shuffling the exploded shingle table (an earlier version
-    did exactly that and was 4× the cost of the whole query). doc×doc never
-    materializes; the df cap and the bucket cap bound every fan-out. The
-    shingle frame is reused from jaccard's per-session memo when present."""
-    sh = _capped_shingles_maybe_shared(spark, sf)
-    doc_sets = _memo_frame(
-        "doc_sets",
-        spark,
-        sf,
-        lambda: doc_shingle_sets(sh),
-    )
+    Round-7 shape (guide §2.3/§2.4/§4.1): signatures are 8 codegen'd
+    min-aggregates over the exploded shingle rows (_minhash_sigs) — the
+    whole sig pipeline is ONE HashAggregate persisted as a 50k-row
+    9-long-column frame, so the four plan branches that consume band rows
+    (bucket-count agg + capped join + both self-join sides) replay a
+    trivial explode instead of re-running interpreted md5 HOF transforms
+    (r7 profile: ~120 task-s → ~0). Verification joins the small candidate
+    frame against the persisted exploded shingle frame twice and COUNTS
+    the matches — the former row-wise array_intersect over collected sets
+    needed the 128 MiB set-array frame broadcast twice (2 × 3.3 s driver
+    collect); candidate-side AQE turns these into broadcast joins of the
+    ~50k-pair frame instead, and no set arrays exist anywhere. Integer
+    |A∩B| and sizes are unchanged ⇒ bit-identical jaccard doubles.
+    doc×doc never materializes; the df cap and the bucket cap bound every
+    fan-out. The shingle frame memo is shared with jaccard."""
+    sh = _capped_shingles_cached(spark, sf)
+    sigs = _memo_frame("minhash_sigs", spark, sf, lambda: _minhash_sigs(sh))
     # bucket-size guard: degenerate buckets (many docs sharing one band key)
     # would blow up the self-join quadratically; drop them — their members
     # are still reachable through their other bands
-    banded = drop_overcap_buckets(_minhash_banded(doc_sets))
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+    banded = _minhash_banded_from_sigs(sigs)
+    ok = (
+        banded.groupBy("band", "k1", "k2")
+        .agg(F.count("*").alias("n_bucket"))
+        .filter(F.col("n_bucket") <= _MAX_BUCKET)
+        .select("band", "k1", "k2")
+    )
+    capped = banded.join(ok, ["band", "k1", "k2"])
+    a = capped.alias("a")
+    b2 = capped.alias("b")
     cand = (
         a.join(
             b2,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     # exact-Jaccard verification of candidates only (never all pairs):
-    # |A∩B| computed row-wise on the cached per-doc sets — two joins of the
-    # small candidate frame, no shingle-table re-shuffle
-    sets_a = doc_sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"),
-        F.col("n_sh").alias("n_a"),
+    # |A∩B| = join-count of the pair against the distinct shingle frame on
+    # both sides — the candidate frame is tiny, so AQE broadcasts it and
+    # the persisted shingle frame streams through map-side
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
     )
-    sets_b = doc_sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"),
-        F.col("n_sh").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    sizes_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sizes_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        cand.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
+        inter.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
