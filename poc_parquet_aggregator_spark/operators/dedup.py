@@ -521,7 +521,15 @@ _SLOT_BITS = _SIMHASH_BITS // _SIM_SLOTS
 #     over-cap buckets ⇒ pairs_dropped_by_cap = 0 — exact within
 #     Hamming ≤ 3 on this corpus, with every level's residual published
 #     in BENCH. Deeper levels run only on still-over-cap rows, so the
-#     extra levels are free when no bucket overflows.
+#     extra levels add no DATA cost when no bucket overflows — but they
+#     are not free: each planned level executes its count-window and
+#     both branch forks on (possibly empty) frames, ~2-3 s of sequential
+#     stage latency at sf1.0 (r7 measurement). An adaptive short-circuit
+#     (persist tagged + per-level isEmpty probes, truncate the plan at
+#     the first non-overflowing level) was built and MEASURED SLOWER
+#     (6.6 s → 11.7 s at sf1.0: probe actions + the persist barrier cost
+#     more than the empty levels they remove), so the eager 5-level plan
+#     stands — see OPTIMIZATION_r07.md.
 _SUB_SPANS = [(0, 12), (12, 11), (23, 11), (34, 11)]  # (offset, width) in rest bits
 _SUB2_SPANS = [(0, 9), (9, 8), (17, 8), (25, 8)]  # (offset, width) in rest2 bits
 _SUB3_SPANS = [(0, 7), (7, 6), (13, 6), (19, 6)]  # (offset, width) in rest3 bits
@@ -1017,32 +1025,60 @@ def embedding_near_dup(
     verification of candidates only. Shuffles are key-partitioned (band
     key / vec_id) — never all-pairs. ``bits`` is the scale knob
     (adaptive_lsh_bits); the gate query pins the oracle's 6."""
-    banded = _embedding_banded(spark, sf, bits=bits)
+    # banded ids are memo-persisted (round 7): the ok-aggregation and both
+    # self-join sides otherwise each re-run the 30-plane sign-bit pipeline
+    # (bands×bits interpreted HOF dots per vector, profiled 3× per query);
+    # the persisted frame is id+key only — a few MB even at the 100k tier
+    banded_ids = _memo_frame(
+        f"emb_banded_{bits}",
+        spark,
+        sf,
+        lambda: _embedding_banded(spark, sf, bits=bits).select(
+            "vec_id", "band", "key"
+        ),
+    )
     ok = (
-        banded.groupBy("band", "key")
+        banded_ids.groupBy("band", "key")
         .agg(F.count("*").alias("n_bucket"))
         .filter(F.col("n_bucket") <= _MAX_BUCKET)
         .select("band", "key")
     )
-    # ids ONLY through the bucket self-join and the distinct: carrying the
-    # two 64-dim double arrays through them shuffled ~1 KB/candidate
-    # (≈30 GB at the 100k corpus's 30M candidates, on a 15 GB/s host) —
-    # measured 65-155 s walls; the id-only join + distinct moves ~16 B per
-    # candidate and the vectors are re-attached ONCE per surviving pair.
-    banded_ids = banded.select("vec_id", "band", "key").join(ok, ["band", "key"])
-    a, b = banded_ids.alias("a"), banded_ids.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
+    n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    # byte-derived broadcast guard shared by the two planner-correcting
+    # hints below (band rows ~24 B each; ok is one row per bucket, smaller
+    # still). Without the hints the static planner — working from a cache
+    # estimate vs an aggregate estimate — picked the CACHED band frame as
+    # the build side and streamed the few-hundred-row ok aggregate, whose
+    # post-agg exchange AQE coalesces to ONE partition; the bucket
+    # self-join fan-out and every cosine downstream then ran in a single
+    # task (measured: a 1-task 108 s stage at sf1.0). Past the guard the
+    # plain shuffle joins stand — at that scale the exchanges are big
+    # enough that AQE keeps real parallelism.
+    broadcast_bands = n_vec * _LSH_BANDS * 24 <= 48 * 1024 * 1024
+    wrap_bands = F.broadcast if broadcast_bands else (lambda df: df)
+    # ids ONLY through the bucket self-join: carrying the two 64-dim
+    # double arrays through it shuffled ~1 KB/candidate (≈30 GB at the
+    # 100k corpus's 30M candidates, on a 15 GB/s host) — measured 65-155 s
+    # walls; the id-only join moves ~16 B per candidate and the vectors
+    # are attached to candidates only.
+    capped_ids = banded_ids.join(wrap_bands(ok), ["band", "key"])
+    a = capped_ids.alias("a")
+    b = wrap_bands(capped_ids.alias("b"))
+    # NO pre-verify distinct (round 7): candidate multiplicity is measured
+    # at 1.006 at sf1.0 AND the 100k adaptive-bits tier (a pair rarely
+    # agrees on a second band), so deduplicating 16-30M candidate rows
+    # cost a full exchange + two hash aggregates to remove <1% of the
+    # cosine evaluations. The ≥-threshold filter keeps ~0.7%, so the
+    # distinct now runs on the tiny verified survivor set instead —
+    # identical output rows (duplicates carry identical cosines).
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
     )
     # norms hoisted to ONCE per vector (100k sqrt-dots) instead of twice
     # per candidate (2×30M interpreted HOF dots — profiled as the bulk of
@@ -1052,8 +1088,9 @@ def embedding_near_dup(
     # Vector re-attach: broadcast only while the vector frame actually
     # fits broadcast comfort; past the threshold the SAME two joins run as
     # shuffle joins keyed on vec_id — the asymmetry stands either way
-    # (candidates shrink via the distinct + threshold before ever touching
-    # vectors). A forced broadcast would OOM the driver on the
+    # (the vector payload moves per candidate row exactly once, and the
+    # threshold filter shrinks the frame before the final distinct).
+    # A forced broadcast would OOM the driver on the
     # multi-million-vector corpora this operator's ``bits`` knob exists
     # for. The cutoff is BYTE-derived (r5 ADVICE: the old fixed 250k-row
     # cutoff allowed ~128 MB per broadcast at 64 dims — 2.5× the comfort
@@ -1064,11 +1101,21 @@ def embedding_near_dup(
     # bucket join this guards; callers on a hot path pass
     # ``broadcast_vectors`` explicitly and skip both jobs.
     if broadcast_vectors is None:
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        row0 = emb.select(F.size("embedding").alias("d")).first()
+        row0 = (
+            spark.read.parquet(f"{sf}/embeddings.parquet")
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
         dim = row0["d"] if row0 else 0
-        broadcast_vectors = emb.count() * dim * 8 <= 48 * 1024 * 1024
+        broadcast_vectors = n_vec * dim * 8 <= 48 * 1024 * 1024
     attach = F.broadcast if broadcast_vectors else (lambda df: df)
+    if not broadcast_vectors:
+        # past broadcast comfort the attach joins MUST shuffle by vec id:
+        # the candidate side's static estimate descends from the cached
+        # band frame's few-MB stats, so without the hint the planner
+        # auto-broadcasts the multi-ten-million-row PAIR side instead
+        # (measured 21 s → 105 s at the 100k tier when that fired)
+        cand = cand.hint("merge")
     vecs = _embedding_vectors(spark, sf)
     cand = cand.join(
         attach(
@@ -1096,6 +1143,7 @@ def embedding_near_dup(
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
+        .distinct()
     )
 
 
