@@ -56,6 +56,7 @@ from .tokfilter import (
     merge_token_filters,
     token_filter_bounds,
     token_filter_contains,
+    token_filter_contains_any,
 )
 
 META_SCHEMA = T.StructType(
@@ -616,8 +617,19 @@ def _token_id_list(contains_token) -> list[int]:
         ids = sorted({int(t) for t in contains_token})
         if not ids:
             raise ValueError("contains_token list must be non-empty")
-        return ids
-    return [int(contains_token)]
+    else:
+        ids = [int(contains_token)]
+    # tokens are int32 by schema: an out-of-range id silently wrapped on
+    # older numpy (np.asarray(..., int32)) and raised OverflowError deep in
+    # the kernel on numpy>=2 — fail fast with a clear message instead
+    # (r6 ADVICE)
+    bad = [t for t in ids if not (-(1 << 31) <= t < (1 << 31))]
+    if bad:
+        raise ValueError(
+            f"contains_token ids outside int32 range (tokens are int32; "
+            f"such ids can never occur): {bad[:5]}"
+        )
+    return ids
 
 
 def _make_decode_fn(
@@ -648,8 +660,8 @@ def _make_decode_fn(
                 if tok_ids is not None:
                     filt = row.get("tok_filter")
                     # NULL filter (pre-upgrade chunk) → decode conservatively
-                    if filt is not None and not any(
-                        token_filter_contains(bytes(filt), t) for t in tok_ids
+                    if filt is not None and not token_filter_contains_any(
+                        bytes(filt), tok_ids
                     ):
                         continue
                 out: dict[str, pa.Array] = {}
@@ -811,9 +823,13 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
     fields = list(_MANIFEST_PRUNE_FIELDS)
 
     def parse(batches) -> Iterator[pd.DataFrame]:
-        def emit(recs: list[dict], prio: str) -> pd.DataFrame:
+        def emit(recs: list[dict], prio: str, ords: list[int]) -> pd.DataFrame:
             return pd.DataFrame(
-                {**{k: [r.get(k) for r in recs] for k in fields}, "_prio": prio}
+                {
+                    **{k: [r.get(k) for r in recs] for k in fields},
+                    "_prio": prio,
+                    "_ord": ords,
+                }
             )
 
         for b in batches:
@@ -822,28 +838,37 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
             ):
                 if end < 0:  # loose per-file JSON: one record
                     with open(path) as fh:
-                        yield emit([json.load(fh)], prio)
+                        yield emit([json.load(fh)], prio, [0])
                     continue
                 # JSONL byte-range split: seek, drop the partial line the
                 # PREVIOUS split will finish, stream until past `end`
                 # (records are streamed in bounded chunks, never the
-                # whole segment at once)
+                # whole segment at once). _ord = the record's line-start
+                # byte offset: a duplicate stem WITHIN one segment (equal
+                # _prio) must resolve later-line-wins exactly like
+                # read_manifest — an untied row_number was
+                # nondeterministic there (r6 ADVICE)
                 with open(path, "rb") as fh:
                     fh.seek(start)
                     if start:
                         fh.readline()
                     recs: list[dict] = []
-                    while fh.tell() <= end:
+                    ords: list[int] = []
+                    while True:
+                        pos = fh.tell()
+                        if pos > end:
+                            break
                         line = fh.readline()
                         if not line:
                             break
                         if line.strip():
                             recs.append(json.loads(line))
+                            ords.append(pos)
                         if len(recs) >= 65_536:
-                            yield emit(recs, prio)
-                            recs = []
+                            yield emit(recs, prio, ords)
+                            recs, ords = [], []
                     if recs:
-                        yield emit(recs, prio)
+                        yield emit(recs, prio, ords)
 
     # one task per split up to ~4x core count — a backlog of loose JSONs
     # (many tiny files) batches into a bounded task count
@@ -853,15 +878,19 @@ def manifest_df(spark: SparkSession, out_dir: str) -> DataFrame:
             splits, "path string, start bigint, end bigint, _prio string"
         )
         .repartition(n_tasks)
-        .mapInPandas(parse, schema=_MANIFEST_PRUNE_SCHEMA + ", _prio string")
+        .mapInPandas(
+            parse, schema=_MANIFEST_PRUNE_SCHEMA + ", _prio string, _ord bigint"
+        )
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("file_stem").orderBy(F.col("_prio").desc())
+    w = Window.partitionBy("file_stem").orderBy(
+        F.col("_prio").desc(), F.col("_ord").desc()
+    )
     return (
         man.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_prio")
+        .drop("_rn", "_prio", "_ord")
     )
 
 
@@ -914,7 +943,17 @@ def _keep_stems_df(
                 for stem, has_filter, t_lo, t_hi in zip(
                     pdf["file_stem"], pdf["tok_filter"], pdf["tok_min"], pdf["tok_max"]
                 ):
-                    if not has_filter:  # pre-filter encode: conservative keep
+                    # probe the sidecar ONLY when the record's flag is a
+                    # definite True — exactly the driver path's
+                    # `if rec.get("tok_filter")` rule. A null flag can
+                    # reach pandas as None, NaN (truthy float!) or pd.NA
+                    # (raises on bool()); all mean "pre-filter encode:
+                    # conservative keep" (r6 ADVICE)
+                    try:
+                        probe_it = bool(has_filter) and has_filter == has_filter
+                    except (TypeError, ValueError):  # pd.NA
+                        probe_it = False
+                    if not probe_it:
                         keep.append(True)
                         continue
                     # probe only the ids inside THIS file's zone — the same
@@ -930,7 +969,7 @@ def _keep_stems_df(
                     sidecar = read_token_sidecar(out_dir, stem)
                     keep.append(
                         sidecar is None
-                        or any(token_filter_contains(sidecar, t) for t in cand)
+                        or token_filter_contains_any(sidecar, cand)
                     )
                 yield pdf.loc[keep, ["file_stem"]]
 
@@ -1408,9 +1447,15 @@ def read_decoded(
             # never-compacted dir of millions of per-file JSONs is just as
             # driver-hostile as one huge segment)
             segs_a, loose_a = _manifest_paths(out_dir)
-            man_bytes = sum(os.path.getsize(p) for p in segs_a) + sum(
-                os.path.getsize(p) for p in loose_a
-            )
+            # short-circuit the stat() sweep once the threshold is crossed:
+            # with a never-compacted backlog of millions of loose JSONs the
+            # size scan itself was a driver-scaling bottleneck of exactly
+            # the kind the join path exists to avoid (r6 ADVICE)
+            man_bytes = 0
+            for p in (*segs_a, *loose_a):
+                man_bytes += os.path.getsize(p)
+                if man_bytes > MANIFEST_JOIN_BYTES:
+                    break
             strategy = "join" if man_bytes > MANIFEST_JOIN_BYTES else "driver"
         if strategy == "join":
             enc = enc.join(
@@ -1451,8 +1496,8 @@ def read_decoded(
                         continue
                     if rec.get("tok_filter"):
                         sidecar = read_token_sidecar(out_dir, stem)
-                        if sidecar is not None and not any(
-                            token_filter_contains(sidecar, t) for t in cand
+                        if sidecar is not None and not token_filter_contains_any(
+                            sidecar, cand
                         ):
                             continue
                 keep.append(stem)
@@ -1607,8 +1652,8 @@ def token_read_stats(out_dir: str, token: int | list[int]) -> dict:
             continue
         if rec.get("tok_filter"):
             sidecar = read_token_sidecar(out_dir, stem)
-            if sidecar is not None and not any(
-                token_filter_contains(sidecar, t) for t in cand
+            if sidecar is not None and not token_filter_contains_any(
+                sidecar, cand
             ):
                 stats["files_filter_pruned"] += 1
                 continue

@@ -116,6 +116,21 @@ def token_filter_contains(blob: bytes, token: int) -> bool:
     return bool((bits[j >> 3] >> (j & 7)) & 1)
 
 
+def token_filter_contains_any(blob: bytes, tokens) -> bool:
+    """ANY-match probe over an id list: may the filtered value set contain
+    any of ``tokens``? One header parse + one zstd decompression for the
+    whole list — the per-id loop through ``token_filter_contains`` paid K
+    decompressions per filter for a K-id banned set (r6 ADVICE). Verdict
+    identical to ``any(token_filter_contains(blob, t) for t in tokens)``."""
+    mode, lo, hi, nbits, payload = _parse(blob)
+    ids = np.asarray([int(t) for t in tokens if lo <= t <= hi], dtype=np.int64)
+    if ids.size == 0:
+        return False
+    bits = np.frombuffer(unwrap_zstd(payload), dtype=np.uint8)
+    j = ids - lo if mode == MODE_EXACT else _hash_slots(ids, nbits).astype(np.int64)
+    return bool(((bits[j >> 3] >> (j & 7).astype(np.uint8)) & 1).any())
+
+
 def _exact_ids(lo: int, nbits: int, payload: bytes) -> np.ndarray:
     bits = np.frombuffer(unwrap_zstd(payload), dtype=np.uint8)
     present = np.unpackbits(bits, count=nbits, bitorder="little").astype(np.bool_)

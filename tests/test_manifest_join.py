@@ -144,6 +144,35 @@ def test_manifest_df_precedence(spark, token_dir, tmp_path):
     assert len(dist) == len(drv) == len(stems)
 
 
+def test_manifest_df_same_segment_dup_last_line_wins(spark, tmp_path, monkeypatch):
+    """Duplicate stems WITHIN one segment (equal _prio) must resolve
+    last-line-wins, byte-for-byte like read_manifest, at every split-
+    boundary placement — the r6-ADVICE nondeterministic-tie fix (the
+    window now carries the record's line-start offset as a secondary
+    key, so ties cannot fall to hash-partition luck)."""
+    import poc_parquet_aggregator_spark.encode.pipeline as pl
+
+    out = str(tmp_path / "m2")
+    os.makedirs(os.path.join(out, "_manifest"))
+    n = 400
+    with open(os.path.join(out, "_manifest", "_compacted-000000.jsonl"), "w") as f:
+        for i in range(n):
+            # every stem written twice in one segment; later line carries
+            # the sentinel that must win
+            stem = f"d-{i:05d}"
+            f.write(json.dumps({"file_stem": stem, "n_tok_min": 1}) + "\n")
+        for i in range(n):
+            stem = f"d-{i:05d}"
+            f.write(json.dumps({"file_stem": stem, "n_tok_min": 999}) + "\n")
+    for split in (64, 257, 1 << 30):
+        monkeypatch.setattr(pl, "MANIFEST_SPLIT_BYTES", split)
+        rows = manifest_df(spark, out).select("file_stem", "n_tok_min").collect()
+        assert len(rows) == n, split
+        assert all(r["n_tok_min"] == 999 for r in rows), split
+        exp = {s: r["n_tok_min"] for s, r in read_manifest(out).items()}
+        assert {r["file_stem"]: r["n_tok_min"] for r in rows} == exp, split
+
+
 def test_bad_strategy_raises(spark, enc_dir):
     with pytest.raises(ValueError, match="manifest_prune"):
         read_decoded(

@@ -34,6 +34,7 @@ from poc_parquet_aggregator_spark.encode.tokfilter import (
     merge_token_filters,
     token_filter_bounds,
     token_filter_contains,
+    token_filter_contains_any,
 )
 from poc_parquet_aggregator_spark.plans import get_spark
 from poc_parquet_aggregator_spark.sources import write_token_table
@@ -56,6 +57,37 @@ def test_exact_mode_semantics():
         assert not token_filter_contains(f, t)
     for t in (-1, 0, 499, 4001, 2**31 - 1, -(2**31)):
         assert token_filter_contains(f, t) == (t in s)
+
+
+def test_contains_any_equals_per_id_loop():
+    """token_filter_contains_any (one parse + one decompression) must give
+    the exact verdict of the per-id token_filter_contains loop it replaced
+    (r7: the r6-ADVICE K-decompression fix), across both filter modes."""
+    rng = np.random.default_rng(11)
+    for vals in (
+        rng.integers(500, 4000, 5000).astype(np.int32),  # exact mode
+        rng.integers(0, 2**30, 5000).astype(np.int32),  # hashed mode
+        np.zeros(0, dtype=np.int32),  # empty filter
+    ):
+        f = build_token_filter(vals)
+        probes = rng.integers(-10, 5000, size=(40, 3)).tolist() + [
+            [int(v) for v in vals[:3]] if vals.size else [1, 2, 3]
+        ]
+        for ids in probes:
+            want = any(token_filter_contains(f, t) for t in ids)
+            assert token_filter_contains_any(f, ids) == want, (ids, vals[:5])
+
+
+def test_contains_token_out_of_int32_raises():
+    from poc_parquet_aggregator_spark.encode.pipeline import _token_id_list
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="int32"):
+        _token_id_list(2**31)
+    with _pt.raises(ValueError, match="int32"):
+        _token_id_list([5, -(2**31) - 1])
+    assert _token_id_list([7, 3, 7]) == [3, 7]
 
 
 def test_hashed_mode_no_false_negatives():
