@@ -163,38 +163,66 @@ def _rank_vs_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w))
 
 
-def _trained_centroids(e: DataFrame) -> DataFrame:
+def _trained_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
     """_KMEANS_ITERS fixed k-means iterations on the vec_id < _TRAIN_N
-    sample (1 since round 4 — see the recall-curve note above).
-    Per-dimension means via posexplode + fixed-point sums; an emptied
-    cluster keeps its previous centroid (coalesce)."""
-    sample = e.filter(F.col("vec_id") < _TRAIN_N)
-    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    sample (1 since round 4 — see the recall-curve note above), computed
+    DRIVER-SIDE since round 7: the sample is bounded at _TRAIN_N rows by
+    construction (the module contract already frames training as "k-means
+    on a driver-scale sample"), and the former DataFrame chain — sample
+    assignment window + posexplode per-dim aggregation + join, per
+    iteration — cost ~1 s of sequential stage latency per query on data
+    that fits in one collect. Every arithmetic step replays Spark's exact
+    IEEE operation sequence so the result is bit-identical to the old
+    plan AND the DuckDB oracle: left-to-right dot folds (CPython float ==
+    JVM double), cosine = dot/(nv·nc), ranking with Spark's
+    NaN-is-greatest descending order and centroid_id tiebreak, and
+    fixed-point means floor(x·1e6+0.5) summed exactly in Python ints then
+    (double(sum)/double(count))/1e6; an emptied cluster keeps its
+    previous centroid."""
+    import math
+
+    rows = (
+        e.filter(F.col("vec_id") < _TRAIN_N)
+        .select("vec_id", "v")
+        .sort("vec_id")
+        .collect()
     )
+    sample = [list(r["v"]) for r in rows]
+    ids = [r["vec_id"] for r in rows]
+    cent_ids = [i for i in ids if i < _N_CENTROIDS]
+    cents = [list(v) for i, v in zip(ids, sample) if i < _N_CENTROIDS]
+
+    def fold_dot(x, y):
+        acc = 0.0
+        for a, b in zip(x, y):
+            acc = acc + a * b
+        return acc
+
+    def better(cur, best):  # Spark: ORDER BY csim DESC — NaN sorts greatest
+        if math.isnan(cur):
+            return not math.isnan(best)  # NaN beats numbers; NaN tie → keep
+        return (not math.isnan(best)) and cur > best
+
     for _ in range(_KMEANS_ITERS):
-        assigned = (
-            _rank_vs_centroids(sample, cents)
-            .filter(F.col("rn") == 1)
-            .select("v", "centroid_id")
-        )
-        means = (
-            assigned.select("centroid_id", F.posexplode("v").alias("dim", "x"))
-            .groupBy("centroid_id", "dim")
-            .agg(
-                ((F.sum(_fx6(F.col("x"))) / F.count("*")) / F.lit(1000000.0)).alias("cx")
-            )
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "cx")))
-                .getField("cx")
-                .alias("new_cv")
-            )
-        )
-        cents = cents.join(means, "centroid_id", "left").select(
-            "centroid_id", F.coalesce("new_cv", "cv").alias("cv")
-        )
-    return cents
+        norms_c = [math.sqrt(fold_dot(c, c)) for c in cents]
+        sums = [[0] * len(c) for c in cents]
+        counts = [0] * len(cents)
+        for v in sample:
+            nv = math.sqrt(fold_dot(v, v))
+            best, best_i = None, None
+            for ci, (c, nc) in enumerate(zip(cents, norms_c)):
+                csim = fold_dot(v, c) / (nv * nc)
+                if best is None or better(csim, best):
+                    best, best_i = csim, ci
+            counts[best_i] += 1
+            row = sums[best_i]
+            for d, x in enumerate(v):
+                row[d] += int(math.floor(x * 1000000.0 + 0.5))
+        cents = [
+            [(float(s) / float(n)) / 1000000.0 for s in row] if n else c
+            for c, row, n in zip(cents, sums, counts)
+        ]
+    return [(int(i), c) for i, c in zip(cent_ids, cents)]
 
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
@@ -211,7 +239,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     # vs ~2 s at sf0.1.
     spark_ = e.sparkSession
     cents = spark_.createDataFrame(
-        _trained_centroids(e).collect(), "centroid_id long, cv array<double>"
+        _trained_centroids(e), "centroid_id long, cv array<double>"
     )
     ranked = _rank_vs_centroids(e, cents)
     assigned = ranked.filter(F.col("rn") == 1).select(
