@@ -1499,7 +1499,13 @@ def q_ocp_aws_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         # EBS-usagetype analog: a deterministic minority subset of rows
         (F.col("l_linenumber") % 3 == 0).alias("is_storage"),
     ).join(
-        attributed.select("p_partkey", "match_type", "matched_tag"),
+        # broadcast the per-part match state (r7): it is a dimension — one
+        # row per part, three narrow columns, served from the memo cache —
+        # and the planner otherwise SMJ-shuffled the 6M-row cost fact
+        # against it (259 MB exchange + sort, profiled as the query's
+        # largest stage). The reference's analog is per-resource state
+        # loaded from PostgreSQL, dimension-sized at any corpus scale.
+        F.broadcast(attributed.select("p_partkey", "match_type", "matched_tag")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     # ONE classification pass replaces the reference's five frames:
