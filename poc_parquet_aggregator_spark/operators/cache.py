@@ -78,9 +78,29 @@ def memo_get(kind: str, spark: SparkSession, sf: str) -> DataFrame | None:
 
 def purge_frame_memo() -> None:
     """Unpersist and drop every memoized frame (bench uses this so each
-    timed run is cold)."""
+    timed run is cold). The purge is SYNCHRONOUS since round 7: blocking
+    unpersists, then one JVM GC so the ContextCleaner's deferred
+    shuffle/broadcast cleanup from the previous run completes now —
+    interleaved tier measurements showed the run started immediately
+    after an async purge paying ~2× CPU on identical work (async block
+    removal + cleanup backlog contend with the new run's execution
+    memory), while a short idle pause healed it. The purge runs OUTSIDE
+    the bench's timed windows, so this trades untimed cleanup time for
+    timed runs that start from a genuinely clean session; the timed work
+    itself is unchanged and still computes everything from the parquet
+    inputs."""
+    spark = None
     for key in list(_FRAME_MEMO):
         try:
-            _FRAME_MEMO.pop(key).unpersist()
+            df = _FRAME_MEMO.pop(key)
+            spark = df.sparkSession
+            df.unpersist(blocking=True)
+        except Exception:
+            pass
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark.sparkContext._jvm.System.gc()
         except Exception:
             pass

@@ -336,30 +336,24 @@ def _minhash_sigs(sh: DataFrame) -> DataFrame:
     PERSISTED so they are evaluated exactly once (round 7): the r7 profile
     measured the former in-plan form re-running its interpreted md5 HOF
     transforms in four plan branches under one query (4 × ~30 task-s).
-    The collect_set → hoisted h0/h1 md5 arrays → array_min(substring)
-    shape is kept because it measured 5× cheaper per row than computing
-    the mins as 8 declarative aggregates at the exploded-row level (the
-    agg-buffer update path costs more than the interpreted transform).
-    n_sh ≡ size(sh_set); values identical to the former inline pipeline."""
-    doc_sets = (
-        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
-    )
-    hashed = doc_sets.select(
-        "doc_id",
-        F.size("sh_set").alias("n_sh"),
-        F.transform("sh_set", lambda x: F.md5(F.concat(F.lit("0|"), x))).alias("h0"),
-        F.transform("sh_set", lambda x: F.md5(F.concat(F.lit("1|"), x))).alias("h1"),
-    )
-
-    def _minhash_col(i: int):
-        src, pos = ("h0" if i < 4 else "h1"), (i % 4) * 8 + 1
-        return F.array_min(
-            F.transform(src, lambda h: F.substring(h, pos, 8))
-        ).alias(f"s{i}")
-
-    return hashed.select(
-        "doc_id", *[_minhash_col(i) for i in range(_N_HASHES)], "n_sh"
-    )
+    The mins are 8 declarative string-min aggregates over the exploded
+    shingle rows — one pure-codegen HashAggregate, md5 evaluated at row
+    level; NO collect_set, so the only ObjectHashAggregate (and its
+    set-array partial buffers — 144 MB of shuffled arrays at the 100k
+    tier) is gone from the query entirely. Interleaved clean-session A/B
+    measured this at parity with the collect_set → array_min(transform)
+    form at both sf1.0 and the 100k tier (an earlier mid-session '5×
+    slower' reading was session-decay artifact, not the operator).
+    Values identical: min over the same distinct-shingle multiset, and
+    n_sh = count(*) ≡ size(collect_set) — the frame is distinct per doc."""
+    h0 = F.md5(F.concat(F.lit("0|"), F.col("shingle")))
+    h1 = F.md5(F.concat(F.lit("1|"), F.col("shingle")))
+    aggs = []
+    for i in range(_N_HASHES):
+        src, pos = (h0 if i < 4 else h1), (i % 4) * 8 + 1
+        aggs.append(F.min(F.substring(src, pos, 8)).alias(f"s{i}"))
+    aggs.append(F.count("*").alias("n_sh"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_banded_from_sigs(sigs: DataFrame) -> DataFrame:
