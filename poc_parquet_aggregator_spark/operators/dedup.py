@@ -1269,16 +1269,17 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
     def bucket_stats(frame: DataFrame, keys: list[str]) -> dict:
         return size_stats(frame.groupBy(*keys).agg(F.count("*").alias("n")))
 
-    doc_sets = _memo_frame(
-        "doc_sets",
+    # minhash stats come from the QUERY's own builders since round 7
+    # (sigs frame → long-keyed band rows) so the shared-builder contract
+    # — "the measured bucket distribution is the exact frame the query
+    # joins on" — keeps holding after the sigs restructure; the (band,
+    # k1, k2) buckets partition docs identically to the former
+    # (band, band_key-string) form (fixed-width hex concat ⟺ value pair)
+    sigs = _memo_frame(
+        "minhash_sigs",
         spark,
         sf,
-        lambda: (
-            _capped_shingles(_docs(spark, sf))
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("sh_set"))
-            .withColumn("n_sh", F.size("sh_set"))
-        ),
+        lambda: _minhash_sigs(_capped_shingles(_docs(spark, sf))),
     )
     n_vec = spark.read.parquet(f"{sf}/embeddings.parquet").count()
     bits = adaptive_lsh_bits(n_vec)
@@ -1310,7 +1311,9 @@ def dedup_scale_stats(spark: SparkSession, sf: str) -> dict:
     sim_stats = size_stats(sim_sizes)
     sim_stats.update({k: int(v) for k, v in clique_row.asDict().items()})
     out = {
-        "minhash": bucket_stats(_minhash_banded(doc_sets), ["band", "band_key"]),
+        "minhash": bucket_stats(
+            _minhash_banded_from_sigs(sigs), ["band", "k1", "k2"]
+        ),
         "simhash": sim_stats,
         # the SCALE configuration: band-key bits sized to the corpus (the
         # gate query pins 6 bits for oracle parity; see adaptive_lsh_bits)
