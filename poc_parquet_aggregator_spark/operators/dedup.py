@@ -1105,19 +1105,25 @@ def embedding_near_dup(
     # left-to-right fold), so the DuckDB oracle needs no change.
     # Vector re-attach: broadcast only while the vector frame actually
     # fits broadcast comfort; past the threshold the SAME two joins run as
-    # shuffle joins keyed on vec_id — the asymmetry stands either way
-    # (the vector payload moves per candidate row exactly once, and the
-    # threshold filter shrinks the frame before the final distinct).
-    # A forced broadcast would OOM the driver on the
-    # multi-million-vector corpora this operator's ``bits`` knob exists
-    # for. The cutoff is BYTE-derived (r5 ADVICE: the old fixed 250k-row
-    # cutoff allowed ~128 MB per broadcast at 64 dims — 2.5× the comfort
-    # figure the comment cited, and there are TWO broadcasts below): rows
-    # × dim × 8 B raw payload vs a 48 MB budget ⇒ ~98k vectors at 64 dims.
-    # Cost of deciding: parquet count() is metadata-only (no data read)
-    # and the dim probe reads a single row — both trivial next to the
-    # bucket join this guards; callers on a hot path pass
-    # ``broadcast_vectors`` explicitly and skip both jobs.
+    # forced shuffle joins keyed on vec_id — the asymmetry stands either
+    # way (the vector payload moves per candidate row exactly once, and
+    # the threshold filter shrinks the frame before the final distinct).
+    # A forced broadcast would OOM the driver on the multi-million-vector
+    # corpora this operator's ``bits`` knob exists for. The cutoff is
+    # BYTE-derived: rows × dim × 8 B raw payload vs a 256 MB budget
+    # (≈ 500k vectors at 64 dims). Round-7 measurement moved the budget
+    # up from r5's conservative 48 MB: at the 100k tier (51 MB raw,
+    # ~90 MB framed per side) the broadcast costs ~2-3 s total, while
+    # the non-broadcast arm's second attach join must EXCHANGE AND SORT
+    # the candidate frame with first-side vectors attached (~16 GB at
+    # 30M candidates) — measured 50-250 s walls under host contention;
+    # r6 only avoided that cliff because mis-estimated stats happened to
+    # auto-broadcast the vector side anyway. Past the budget the merge
+    # hint below stands (the price is real but bounded and the driver
+    # survives). Cost of deciding: parquet count() is metadata-only and
+    # the dim probe reads one row — both trivial next to the bucket join
+    # this guards; hot-path callers pass ``broadcast_vectors`` and skip
+    # both jobs.
     if broadcast_vectors is None:
         row0 = (
             spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -1125,7 +1131,7 @@ def embedding_near_dup(
             .first()
         )
         dim = row0["d"] if row0 else 0
-        broadcast_vectors = n_vec * dim * 8 <= 48 * 1024 * 1024
+        broadcast_vectors = n_vec * dim * 8 <= 256 * 1024 * 1024
     attach = F.broadcast if broadcast_vectors else (lambda df: df)
     if not broadcast_vectors:
         # past broadcast comfort the attach joins MUST shuffle by vec id:
